@@ -1,0 +1,155 @@
+"""Typed configuration tree + CLI overrides.
+
+TPU-native replacement for the reference's global-FLAGS system
+(`src/options.py` + `src/init.py`, SURVEY.md §2 L0 / §6): every reference
+flag that changes numerics is an explicit field with the reference default
+(see `reference_constants` for provenance). Instead of a mutable module-global
+singleton, a frozen dataclass tree is threaded explicitly; CLI overrides use
+dotted paths, e.g. ``--model.depth=8 --train.base_lr=1e-4``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from metro_pose3d_tpu import reference_constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    model_class: str = "metro"      # "metro" | "twofive" (2.5D baseline)
+    backbone: str = "resnet50"      # "resnet50" | "resnet18" | "tiny" (tests)
+    preactivation: bool = True      # ResNet v2 (preact) vs v1.5
+    proc_side: int = C.PROC_SIDE
+    stride: int = C.STRIDE          # output stride (dilated final stage)
+    depth: int = C.DEPTH            # depth slices of the volumetric heatmap
+    box_size_mm: float = C.BOX_SIZE_MM
+    num_joints: int = 17
+    compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    bn_momentum: float = C.BN_MOMENTUM
+    bn_epsilon: float = C.BN_EPSILON
+
+    @property
+    def heatmap_side(self) -> int:
+        return self.proc_side // self.stride
+
+
+@dataclasses.dataclass(frozen=True)
+class AugConfig:
+    shift_frac: float = C.AUG_SHIFT_FRAC
+    scale_down: float = C.AUG_SCALE_DOWN
+    scale_up: float = C.AUG_SCALE_UP
+    rot_max_deg: float = C.AUG_ROT_MAX_DEG
+    flip_prob: float = C.AUG_FLIP_PROB
+    occlude_prob: float = C.AUG_OCCLUDE_PROB
+    color_prob: float = C.AUG_COLOR_PROB
+    brightness_max: float = 0.125   # additive, on [0,1]-scaled intensities
+    contrast_range: float = 0.25
+    saturation_range: float = 0.25
+    hue_max: float = 0.05           # fraction of a full hue revolution
+    background_prob: float = 0.7    # 3DHP green-screen replacement
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"      # h36m | mpi_inf_3dhp | mpii | synthetic
+    dataset_2d: str = ""            # auxiliary 2D dataset (e.g. "mpii")
+    data_root: str = "/data"
+    cache_dir: str = "/data/cache"
+    source_side: int = 512          # fixed host->device source-tile side
+    workers: int = 4
+    test_box_expansion: float = C.TEST_BOX_EXPANSION
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64            # global batch (split over the mesh)
+    batch_size_2d: int = 32         # auxiliary 2D examples per global batch
+    num_steps: int = 400_000
+    base_lr: float = C.ADAM_LR
+    lr_schedule: str = "exp_decay"  # "exp_decay" | "cosine" | "constant"
+    lr_decay_steps: int = 100_000
+    lr_decay_rate: float = 0.33
+    warmup_steps: int = 1_000
+    loss_2d_weight: float = C.LOSS_2D_WEIGHT
+    absloss_weight: float = 0.0     # optional absolute-pose aux loss
+    seed: int = 0
+    checkpoint_every: int = 2_000
+    keep_checkpoints: int = 3
+    log_every: int = 100
+    validate_every: int = 10_000
+    logdir: str = "/tmp/metro_tpu_runs/default"
+    load_path: str = ""             # warm-start checkpoint
+    backbone_init: str = ""         # ImageNet-pretrained backbone params
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    batch_size: int = 128
+    flip_tta: bool = True
+    scale_recovery: str = "metric"  # "metric" | "bone_lengths"
+    reconstruct_absolute: bool = True
+    pred_path: str = ""             # where --test dumps predictions (.npz)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data_axis: int = -1             # -1: all local devices data-parallel
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    aug: AugConfig = dataclasses.field(default_factory=AugConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def _coerce(value: str, target_type):
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is Optional[str]:
+        return value
+    return target_type(value)
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply {"model.depth": "8", ...} dotted-path overrides (immutably)."""
+    grouped: dict = {}
+    for path, value in overrides.items():
+        section, _, field = path.partition(".")
+        if not field:
+            raise ValueError(f"override must be section.field, got {path!r}")
+        grouped.setdefault(section, {})[field] = value
+
+    updates = {}
+    for section, fields in grouped.items():
+        sub = getattr(cfg, section)
+        field_types = {f.name: f.type for f in dataclasses.fields(sub)}
+        coerced = {}
+        for name, raw in fields.items():
+            if name not in field_types:
+                raise ValueError(f"unknown config field {section}.{name}")
+            current = getattr(sub, name)
+            coerced[name] = _coerce(str(raw), type(current))
+        updates[section] = dataclasses.replace(sub, **coerced)
+    return dataclasses.replace(cfg, **updates)
+
+
+def parse_cli(argv) -> tuple[Config, list]:
+    """Parse ``--section.field=value`` overrides; returns (config, rest)."""
+    overrides, rest = {}, []
+    for arg in argv:
+        if arg.startswith("--") and "=" in arg and "." in arg.split("=", 1)[0]:
+            key, _, value = arg[2:].partition("=")
+            overrides[key] = value
+        else:
+            rest.append(arg)
+    return apply_overrides(Config(), overrides), rest
+
+
+def config_to_json(cfg: Config) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
