@@ -1,0 +1,33 @@
+"""Horizontal-flip test-time augmentation (SURVEY.md §3.2, "Flip TTA").
+
+Forward on the crop and its mirror; un-mirror the second prediction by
+negating x and permuting joints with the JointInfo mirror mapping; average.
+All ops are jittable so TTA fuses into the single inference graph.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def flip_crop(crops: jnp.ndarray) -> jnp.ndarray:
+    """Mirror [B, H, W, C] crops horizontally (x -> W-1-x)."""
+    return crops[:, :, ::-1, :]
+
+
+def unflip_pose3d(pose_mm: jnp.ndarray, mirror_mapping: jnp.ndarray) -> jnp.ndarray:
+    """Un-mirror a metric 3D pose predicted on a flipped crop.
+
+    The metric volume is centered, so mirroring is exactly x -> -x, plus the
+    left/right joint permutation.
+    """
+    neg = pose_mm * jnp.array([-1.0, 1.0, 1.0], pose_mm.dtype)
+    return jnp.take(neg, mirror_mapping, axis=-2)
+
+
+def unflip_pose2d(
+    pose_px: jnp.ndarray, mirror_mapping: jnp.ndarray, proc_side: int
+) -> jnp.ndarray:
+    """Un-mirror crop-pixel 2D predictions: x -> (S-1) - x + permutation."""
+    x = (proc_side - 1) - pose_px[..., 0]
+    flipped = jnp.stack([x, pose_px[..., 1]], axis=-1)
+    return jnp.take(flipped, mirror_mapping, axis=-2)
