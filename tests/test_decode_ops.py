@@ -107,16 +107,31 @@ class TestReconstructAbsolute:
         )
         np.testing.assert_allclose(rec, pose_abs, atol=0.5)
 
-    def test_weak_perspective_reasonable(self):
-        pose_abs, rootrel, pose2d, intr = self._make_case()
+    def test_weak_perspective_exact_on_weak_perspective_data(self):
+        b, j = 4, 17
+        rootrel = RNG.uniform(-400, 400, (b, j, 3))
+        rootrel -= rootrel[:, :1]
+        t = np.concatenate([RNG.uniform(-300, 300, (b, 2)), RNG.uniform(3000, 5000, (b, 1))], -1)
+        intr = np.zeros((b, 3, 3))
+        intr[:, 0, 0] = intr[:, 1, 1] = RNG.uniform(800, 1500, b)
+        intr[:, 0, 2] = intr[:, 1, 2] = 127.5
+        intr[:, 2, 2] = 1
+        # weak-perspective projection: divide by the COMMON depth t_z
+        xy = (rootrel[..., :2] + t[:, None, :2]) / t[:, None, 2:]
+        pose2d = np.stack(
+            [
+                xy[..., 0] * intr[:, None, 0, 0] + 127.5,
+                xy[..., 1] * intr[:, None, 1, 1] + 127.5,
+            ],
+            -1,
+        )
         rec = np.asarray(
             reconstruct_absolute(
                 jnp.asarray(rootrel), jnp.asarray(pose2d), jnp.asarray(intr),
                 weak_perspective=True,
             )
         )
-        err = np.linalg.norm(rec - pose_abs, axis=-1).mean()
-        assert err < 100.0  # approximation, but in the right ballpark
+        np.testing.assert_allclose(rec, rootrel + t[:, None, :], atol=1.0)
 
 
 class TestBoneRescale:
