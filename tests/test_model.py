@@ -1,0 +1,179 @@
+"""Model tests: shapes, decode, parameter counts, and a tiny overfit run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from metro_pose3d_tpu.config import Config, ModelConfig, apply_overrides
+from metro_pose3d_tpu.models.losses import compute_losses
+from metro_pose3d_tpu.models.metro import MetroModel, decode_metro, twofive_backproject, decode_twofive
+from metro_pose3d_tpu.models.resnet import ResNet
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        backbone="tiny", proc_side=64, stride=16, depth=4, num_joints=5,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_vars():
+    cfg = tiny_cfg()
+    model = MetroModel(cfg)
+    crops = jnp.zeros((2, cfg.proc_side, cfg.proc_side, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), crops, train=False)
+    return cfg, model, variables
+
+
+class TestShapes:
+    def test_forward_shapes(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        crops = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        logits3d, logits2d = model.apply(variables, crops, train=False)
+        s = cfg.heatmap_side
+        assert logits3d.shape == (2, s, s, cfg.depth, cfg.num_joints)
+        assert logits2d.shape == (2, s, s, cfg.num_joints)
+        assert logits3d.dtype == jnp.float32
+
+    def test_decode_shapes_and_ranges(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        crops = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+        logits3d, logits2d = model.apply(variables, crops, train=False)
+        pose3d, pose2d = decode_metro(logits3d, logits2d, cfg)
+        assert pose3d.shape == (2, cfg.num_joints, 3)
+        assert pose2d.shape == (2, cfg.num_joints, 2)
+        assert np.all(np.abs(np.asarray(pose3d)) <= cfg.box_size_mm / 2)
+        assert np.all(np.asarray(pose2d) >= -0.5) and np.all(np.asarray(pose2d) <= 63.5)
+
+    def test_output_stride_8(self):
+        cfg = tiny_cfg(stride=8)
+        model = MetroModel(cfg)
+        crops = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda c: model.init(jax.random.PRNGKey(0), c, train=False), crops
+        )
+        # heatmap side must double vs stride 16
+        out3d, _ = jax.eval_shape(
+            lambda v, c: MetroModel(cfg).apply(v, c, train=False),
+            shapes, crops,
+        )
+        assert out3d.shape[1] == 8
+
+
+class TestParamCount:
+    def test_resnet50_param_count(self):
+        model = ResNet(variant="resnet50", output_stride=16)
+        crops = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda c: model.init(jax.random.PRNGKey(0), c, train=False), crops
+        )
+        n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(variables["params"]))
+        assert 20e6 < n_params < 30e6  # torso of ResNet-50 is ~23.5M
+
+    def test_dilated_stage_keeps_resolution(self):
+        model = ResNet(variant="tiny", output_stride=16)
+        crops = jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda c: model.init(jax.random.PRNGKey(0), c, train=False), crops
+        )
+        out = jax.eval_shape(
+            lambda v, c: model.apply(v, c, train=False), variables, crops
+        )
+        assert out.shape[1:3] == (8, 8)  # 128 / 16
+
+
+class TestTraining:
+    def test_loss_decreases_on_fixed_batch(self):
+        cfg = apply_overrides(
+            Config(),
+            {
+                "model.backbone": "tiny", "model.proc_side": "64",
+                "model.depth": "4", "model.num_joints": "5",
+                "model.compute_dtype": "float32",
+            },
+        )
+        model = MetroModel(cfg.model)
+        rng = np.random.RandomState(0)
+        b, j = 4, 5
+        batch = {
+            "crops": jnp.asarray(rng.uniform(-1, 1, (b, 64, 64, 3)), jnp.float32),
+            "coords3d_true": jnp.asarray(rng.uniform(-400, 400, (b, j, 3)), jnp.float32),
+            "coords2d_true": jnp.asarray(rng.uniform(0, 63, (b, j, 2)), jnp.float32),
+            "joint_validity": jnp.ones((b, j), jnp.float32),
+            "joint_validity_2d": jnp.ones((b, j), jnp.float32),
+            "is_3d": jnp.ones((b,), jnp.float32),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch["crops"], train=True)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-2)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, batch_stats, opt_state):
+            def loss_fn(p):
+                (l3d, l2d), new_model_state = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch["crops"], train=True, mutable=["batch_stats"],
+                )
+                total, parts = compute_losses(l3d, l2d, batch, cfg)
+                return total, (parts, new_model_state)
+
+            (loss, (parts, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state["batch_stats"], opt_state, loss
+
+        losses = []
+        for _ in range(12):
+            params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses
+
+    def test_2d_only_examples_get_no_3d_gradient(self):
+        cfg = apply_overrides(
+            Config(),
+            {
+                "model.backbone": "tiny", "model.proc_side": "64",
+                "model.depth": "4", "model.num_joints": "5",
+                "model.compute_dtype": "float32",
+            },
+        )
+        model = MetroModel(cfg.model)
+        rng = np.random.RandomState(0)
+        b, j = 2, 5
+        batch = {
+            "crops": jnp.asarray(rng.uniform(-1, 1, (b, 64, 64, 3)), jnp.float32),
+            "coords3d_true": jnp.asarray(rng.uniform(-400, 400, (b, j, 3)), jnp.float32),
+            "coords2d_true": jnp.asarray(rng.uniform(0, 63, (b, j, 2)), jnp.float32),
+            "joint_validity": jnp.ones((b, j), jnp.float32),
+            "joint_validity_2d": jnp.zeros((b, j), jnp.float32),
+            "is_3d": jnp.zeros((b,), jnp.float32),  # all rows 2D-only, 2D invalid
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch["crops"], train=True)
+        l3d, l2d = model.apply(variables, batch["crops"], train=False)
+        total, parts = compute_losses(l3d, l2d, batch, cfg)
+        assert float(parts["loss3d"]) == 0.0
+        assert float(parts["loss2d"]) == 0.0
+
+
+class TestTwoFive:
+    def test_decode_and_backproject(self):
+        cfg = tiny_cfg(model_class="twofive")
+        rng = np.random.RandomState(0)
+        logits3d = jnp.asarray(rng.uniform(-1, 1, (2, 4, 4, 4, 5)), jnp.float32)
+        logits2d = jnp.asarray(rng.uniform(-1, 1, (2, 4, 4, 5)), jnp.float32)
+        pose25d, pose2d = decode_twofive(logits3d, logits2d, cfg)
+        assert pose25d.shape == (2, 5, 3)
+        intr = jnp.asarray(np.tile(np.array([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]]), (2, 1, 1)), jnp.float32)
+        root_depth = jnp.asarray([3000.0, 4000.0])
+        pose_cam = twofive_backproject(pose25d, intr, root_depth)
+        assert pose_cam.shape == (2, 5, 3)
+        # depth column is z_rel + root depth
+        np.testing.assert_allclose(
+            np.asarray(pose_cam[..., 2]), np.asarray(pose25d[..., 2]) + np.asarray(root_depth)[:, None],
+            rtol=1e-6,
+        )
