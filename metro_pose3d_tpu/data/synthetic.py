@@ -1,0 +1,114 @@
+"""Synthetic 3D-pose dataset with exact, closed-form ground truth.
+
+Renders stick-figure scenes with a known camera: joints are distinctly
+colored discs, so end-to-end pipeline tests can verify that the on-device
+warp places image content exactly where the host-side GT math says it lands.
+Also serves as the benchmark data source (no licensed datasets in this
+environment; SURVEY.md §8 hard-part 4).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from metro_pose3d_tpu.geom.camera import Camera
+from metro_pose3d_tpu.geom.joints import H36M_17, JointInfo
+from metro_pose3d_tpu.pipeline.crops import Example
+
+# Rough adult skeleton in a T-ish pose, pelvis-origin, millimeters,
+# y DOWN (camera-like world), matching H36M_17 joint order.
+_BASE_POSE = np.array(
+    [
+        [0, 0, 0],        # pelv
+        [-120, 0, 0],     # rhip
+        [-130, 430, 30],  # rkne
+        [-140, 860, 0],   # rank
+        [120, 0, 0],      # lhip
+        [130, 430, 30],   # lkne
+        [140, 860, 0],    # lank
+        [0, -230, -20],   # spin
+        [0, -470, 0],     # neck
+        [0, -590, 20],    # head
+        [0, -700, 0],     # htop
+        [200, -440, 0],   # lsho
+        [340, -200, 30],  # lelb
+        [400, 40, 60],    # lwri
+        [-200, -440, 0],  # rsho
+        [-340, -200, 30], # relb
+        [-400, 40, 60],   # rwri
+    ],
+    np.float64,
+)
+
+_JOINT_COLORS = None
+
+
+def _joint_colors(n):
+    global _JOINT_COLORS
+    if _JOINT_COLORS is None or len(_JOINT_COLORS) != n:
+        rng = np.random.default_rng(7)
+        _JOINT_COLORS = rng.integers(60, 255, (n, 3)).astype(np.uint8)
+    return _JOINT_COLORS
+
+
+def random_pose(rng: np.random.Generator) -> np.ndarray:
+    """Perturbed base pose, rotated about the vertical axis, in world mm."""
+    pose = _BASE_POSE + rng.normal(0, 40, _BASE_POSE.shape)
+    yaw = rng.uniform(0, 2 * np.pi)
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return pose @ rot.T
+
+
+def make_example(index: int, seed: int = 0, imshape=(512, 512)) -> Example:
+    """Deterministic synthetic example #index."""
+    import cv2
+
+    rng = np.random.default_rng((seed, index))
+    h, w = imshape
+    cam = Camera.from_fov(55.0, imshape)
+    cam.world_up = np.array([0.0, -1.0, 0.0])
+
+    # place the person in front of the camera with some lateral offset
+    depth = rng.uniform(2500, 5500)
+    lateral = rng.uniform(-0.25, 0.25, 2) * depth
+    root_world = np.array([lateral[0], lateral[1] * 0.3, depth])
+    world = random_pose(rng) + root_world
+
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:] = rng.integers(10, 80, 3).astype(np.uint8)  # background
+    # low-frequency clutter
+    for _ in range(12):
+        p1 = rng.integers(0, (w, h)).astype(int)
+        p2 = rng.integers(0, (w, h)).astype(int)
+        color = tuple(int(v) for v in rng.integers(0, 120, 3))
+        cv2.line(img, tuple(p1), tuple(p2), color, int(rng.integers(1, 8)))
+
+    px = cam.world_to_image(world)
+    colors = _joint_colors(len(world))
+    radius = max(2, int(180 / depth * cam.K[0, 0] / 55))
+    for p, c in zip(px, colors):
+        if np.all(np.isfinite(p)):
+            cv2.circle(img, (int(round(p[0])), int(round(p[1]))), radius,
+                       tuple(int(v) for v in c), -1)
+
+    lo = px.min(0) - 60
+    hi = px.max(0) + 60
+    bbox = np.array([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+    return Example(image=img, bbox=bbox, camera=cam, world_coords=world)
+
+
+class SyntheticDataset:
+    joint_info: JointInfo = H36M_17
+    root_joint = "pelv"
+
+    def __init__(self, n_train=512, n_test=64, seed=0, imshape=(512, 512)):
+        self.n_train = n_train
+        self.n_test = n_test
+        self.seed = seed
+        self.imshape = imshape
+
+    def train_example(self, i: int) -> Example:
+        return make_example(i, seed=self.seed, imshape=self.imshape)
+
+    def test_example(self, i: int) -> Example:
+        return make_example(i, seed=self.seed + 10_000, imshape=self.imshape)

@@ -1,0 +1,63 @@
+"""The on-device half of the input pipeline: one jittable augment function.
+
+Fuses (XLA): homography+distortion warp -> occluder compositing -> color
+jitter -> normalization, uint8 tiles in, model-ready crops out. This replaces
+the reference's host-side cv2/occluder/color code (SURVEY.md §3.1 steps 3-5)
+and runs sharded over the data mesh together with the train/eval step.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from metro_pose3d_tpu.ops.color import color_jitter, normalize
+from metro_pose3d_tpu.ops.occlusion import occlude_with_tiles
+from metro_pose3d_tpu.ops.warp import warp_images
+
+
+def example_spec(joint_count: int, tile_side: int, proc_side: int):
+    """Shape/dtype spec of one prepared example (host -> device contract)."""
+    j = joint_count
+    return {
+        "source": ((tile_side, tile_side, 3), np.uint8),
+        "warp_h": ((3, 3), np.float32),
+        "warp_k": ((4,), np.float32),
+        "warp_dist": ((5,), np.float32),
+        "coords3d_true": ((j, 3), np.float32),
+        "coords2d_true": ((j, 2), np.float32),
+        "joint_validity": ((j,), np.float32),
+        "joint_validity_2d": ((j,), np.float32),
+        "is_3d": ((), np.float32),
+        "intrinsics": ((3, 3), np.float32),
+        "color_params": ((4,), np.float32),
+        "occ_params": ((2,), np.float32),
+        "occ_affine": ((2, 3), np.float32),
+    }
+
+
+EXAMPLE_SPEC = example_spec  # alias (imported by pipeline/__init__)
+
+
+def device_augment(batch: dict, proc_side: int, occluder_bank=None, train: bool = True):
+    """[B,T,T,3] uint8 tiles + params -> [B,S,S,3] normalized float crops.
+
+    `occluder_bank`: [N, T2, T2, 4] float32 RGBA in [0,1] (device-resident);
+    per-example indices select tiles with a gather so the graph stays static.
+    """
+    crops = warp_images(
+        batch["source"], batch["warp_h"], batch["warp_k"], batch["warp_dist"], proc_side
+    )
+    crops = crops * (1.0 / 255.0)
+
+    if train and occluder_bank is not None:
+        idx = batch["occ_params"][:, 1].astype(jnp.int32)
+        tiles = jnp.take(occluder_bank, idx, axis=0)
+        crops = occlude_with_tiles(
+            crops, tiles, batch["occ_affine"], batch["occ_params"][:, 0]
+        )
+
+    if train:
+        cp = batch["color_params"]
+        crops = color_jitter(crops, cp[:, 0], cp[:, 1], cp[:, 2], cp[:, 3])
+
+    return normalize(crops)

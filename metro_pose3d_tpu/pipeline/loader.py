@@ -1,0 +1,117 @@
+"""Host-side batching: deterministic, parallel example preparation.
+
+Responsibility-parity with the reference's `parallel_preproc.py` (SURVEY.md
+§3.3 "async input pipeline"): a worker pool runs the per-example host prep
+(`prepare_example`) and batches stream to the device. Differences by design:
+
+* Determinism is a contract, not an accident: every example's RNG is
+  `np.random.default_rng((seed, epoch, example_index))`, so any batch is
+  reproducible independently of worker scheduling or host count (SURVEY.md
+  §5.5).
+* Multi-host sharding: each host iterates only indices
+  `host_id::host_count` of the shuffled epoch order.
+* Workers are threads by default (prep is numpy/cv2 which release the GIL;
+  this image has 1 CPU anyway); the API accepts a process pool drop-in.
+"""
+from __future__ import annotations
+
+import concurrent.futures as _futures
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from metro_pose3d_tpu.config import AugConfig
+from metro_pose3d_tpu.geom.joints import JointInfo
+from metro_pose3d_tpu.pipeline.crops import Example, prepare_example, sample_aug_params
+
+
+def stack_examples(prepared: Sequence[dict]) -> dict:
+    """List of prepared-example dicts -> dict of batched arrays."""
+    keys = prepared[0].keys()
+    return {k: np.stack([p[k] for p in prepared]) for k in keys}
+
+
+def prepare_one(
+    example: Example,
+    joint_info: JointInfo,
+    proc_side: int,
+    tile_side: int,
+    aug_cfg: Optional[AugConfig],
+    rng_key: tuple,
+    n_occluders: int,
+    box_expansion: float = 1.0,
+) -> dict:
+    """Deterministic single-example prep (aug_cfg=None -> test-time path)."""
+    if aug_cfg is None:
+        return prepare_example(
+            example, joint_info, proc_side, tile_side, aug=None,
+            box_expansion=box_expansion,
+        )
+    rng = np.random.default_rng(rng_key)
+    aug, occ_center = sample_aug_params(rng, aug_cfg, n_occluders)
+    return prepare_example(
+        example, joint_info, proc_side, tile_side, aug=aug, occ_center=occ_center,
+        box_expansion=box_expansion,
+    )
+
+
+def batch_iterator(
+    get_example: Callable[[int], Example],
+    n_examples: int,
+    joint_info: JointInfo,
+    batch_size: int,
+    proc_side: int,
+    tile_side: int,
+    aug_cfg: Optional[AugConfig] = None,
+    seed: int = 0,
+    shuffle: bool = True,
+    n_workers: int = 4,
+    host_id: int = 0,
+    host_count: int = 1,
+    drop_remainder: bool = True,
+    max_epochs: Optional[int] = None,
+    box_expansion: float = 1.0,
+) -> Iterator[dict]:
+    """Stream batched host-prepared examples, epoch after epoch.
+
+    `get_example(i)` materializes example i (decoding images lazily keeps the
+    dataset an index, not a RAM-resident array). Training (aug_cfg set) loops
+    forever unless `max_epochs` is given; evaluation does one deterministic,
+    unshuffled pass (pass shuffle=False, max_epochs=1) and pads the tail batch
+    when drop_remainder=False (callers mask with the returned "_pad" field).
+    """
+    pool = _futures.ThreadPoolExecutor(max_workers=max(n_workers, 1))
+    epoch = 0
+    try:
+        while max_epochs is None or epoch < max_epochs:
+            order = np.arange(n_examples)
+            if shuffle:
+                np.random.default_rng((seed, epoch)).shuffle(order)
+            local = order[host_id::host_count]
+
+            def prep(i):
+                ex = get_example(int(i))
+                return prepare_one(
+                    ex, joint_info, proc_side, tile_side, aug_cfg,
+                    (seed, epoch, int(i)), 64, box_expansion,
+                )
+
+            for start in range(0, len(local), batch_size):
+                chunk = local[start : start + batch_size]
+                if len(chunk) < batch_size:
+                    if drop_remainder:
+                        break
+                    pad = batch_size - len(chunk)
+                    prepared = list(pool.map(prep, chunk))
+                    batch = stack_examples(prepared + [prepared[-1]] * pad)
+                    batch["_pad"] = np.concatenate(
+                        [np.ones(len(chunk), np.float32), np.zeros(pad, np.float32)]
+                    )
+                    yield batch
+                    break
+                batch = stack_examples(list(pool.map(prep, chunk)))
+                batch["_pad"] = np.ones(batch_size, np.float32)
+                yield batch
+            epoch += 1
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -1,0 +1,160 @@
+"""End-to-end input-pipeline tests: host GT math and the on-device warp must
+agree — a joint's colored disc must land at coords2d_true in the crop; the
+deterministic path must be bit-reproducible (SURVEY.md §5.5)."""
+import numpy as np
+import jax.numpy as jnp
+
+from metro_pose3d_tpu.config import AugConfig
+from metro_pose3d_tpu.data.synthetic import SyntheticDataset, _joint_colors
+from metro_pose3d_tpu.geom.joints import H36M_17
+from metro_pose3d_tpu.ops.color import denormalize
+from metro_pose3d_tpu.pipeline.crops import prepare_example, make_crop_camera
+from metro_pose3d_tpu.pipeline.device import device_augment
+from metro_pose3d_tpu.pipeline.loader import batch_iterator, prepare_one, stack_examples
+from metro_pose3d_tpu.pipeline.occluders import make_procedural_occluders
+
+PROC = 128
+TILE = 256
+
+
+def get_batch(indices, aug_cfg=None, seed=0):
+    ds = SyntheticDataset(imshape=(384, 384))
+    prepared = [
+        prepare_one(
+            ds.train_example(i), ds.joint_info, PROC, TILE, aug_cfg, (seed, 0, i), 8
+        )
+        for i in indices
+    ]
+    return stack_examples(prepared)
+
+
+class TestHostPrep:
+    def test_gt_projection_consistency(self):
+        """coords2d_true must equal the projection of coords3d_true through
+        the crop-camera intrinsics (both are produced by the same camera)."""
+        batch = get_batch([0, 1, 2])
+        p3 = batch["coords3d_true"]
+        k = batch["intrinsics"]
+        proj = p3[..., :2] / p3[..., 2:]
+        u = proj[..., 0] * k[:, None, 0, 0] + k[:, None, 0, 2]
+        v = proj[..., 1] * k[:, None, 1, 1] + k[:, None, 1, 2]
+        np.testing.assert_allclose(
+            np.stack([u, v], -1), batch["coords2d_true"], atol=1e-3
+        )
+
+    def test_person_fits_crop(self):
+        """Deterministic path: all joints of an untruncated person must
+        project inside the crop (the box was fitted around them)."""
+        batch = get_batch([3, 4])
+        assert batch["joint_validity_2d"].mean() > 0.95
+
+    def test_determinism(self):
+        b1 = get_batch([0, 5], AugConfig(), seed=11)
+        b2 = get_batch([0, 5], AugConfig(), seed=11)
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+
+    def test_seed_changes_augmentation(self):
+        b1 = get_batch([0], AugConfig(), seed=1)
+        b2 = get_batch([0], AugConfig(), seed=2)
+        assert not np.array_equal(b1["warp_h"], b2["warp_h"])
+
+    def test_flip_permutes_joints(self):
+        ds = SyntheticDataset(imshape=(384, 384))
+        ex = ds.train_example(0)
+        from metro_pose3d_tpu.pipeline.crops import AugParams, sample_aug_params
+
+        base = prepare_example(ex, ds.joint_info, PROC, TILE, aug=None)
+        aug = AugParams(
+            shift=np.zeros(2), scale=1.0, rot_rad=0.0, flip=True,
+            brightness=0.0, contrast=1.0, saturation=1.0, hue=0.0,
+            occlude=False, occluder_index=0, occluder_affine=np.eye(2, 3),
+        )
+        flipped = prepare_example(ex, ds.joint_info, PROC, TILE, aug=aug)
+        m = H36M_17.mirror_mapping
+        # x components mirror about the crop center, with joints permuted
+        np.testing.assert_allclose(
+            flipped["coords2d_true"][m][:, 0],
+            (PROC - 1) - base["coords2d_true"][:, 0],
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            flipped["coords3d_true"][m][:, 0], -base["coords3d_true"][:, 0], atol=1e-6
+        )
+
+
+class TestDeviceWarpEndToEnd:
+    def test_joint_discs_land_at_gt(self):
+        """Render-warp-verify: each joint's unique color must appear at its
+        GT crop pixel after the DEVICE warp (host math == device sampling)."""
+        batch = get_batch([0, 1])
+        crops = np.asarray(
+            denormalize(device_augment(
+                {k: jnp.asarray(v) for k, v in batch.items()}, PROC, train=False
+            ))
+        ) * 255.0
+        colors = _joint_colors(17).astype(np.float32)
+        hits = 0
+        total = 0
+        for b in range(2):
+            for j in range(17):
+                if batch["joint_validity_2d"][b, j] < 0.5:
+                    continue
+                x, y = batch["coords2d_true"][b, j]
+                xi, yi = int(round(x)), int(round(y))
+                if not (2 <= xi < PROC - 2 and 2 <= yi < PROC - 2):
+                    continue
+                total += 1
+                patch = crops[b, yi - 2 : yi + 3, xi - 2 : xi + 3]
+                err = np.abs(patch - colors[j]).sum(-1).min()
+                if err < 90:  # occluding discs of other joints allowed
+                    hits += 1
+        assert total > 20
+        assert hits / total > 0.8, (hits, total)
+
+    def test_augmented_path_runs_and_differs(self):
+        batch = get_batch([0, 1], AugConfig(color_prob=1.0, occlude_prob=1.0), seed=3)
+        bank = jnp.asarray(make_procedural_occluders(8, 48))
+        crops_aug = np.asarray(
+            device_augment(
+                {k: jnp.asarray(v) for k, v in batch.items()}, PROC,
+                occluder_bank=bank, train=True,
+            )
+        )
+        crops_plain = np.asarray(
+            device_augment(
+                {k: jnp.asarray(v) for k, v in batch.items()}, PROC, train=False
+            )
+        )
+        assert crops_aug.shape == (2, PROC, PROC, 3)
+        assert np.isfinite(crops_aug).all()
+        assert np.abs(crops_aug - crops_plain).max() > 0.05
+
+
+class TestBatchIterator:
+    def test_iterates_and_pads(self):
+        ds = SyntheticDataset(imshape=(256, 256))
+        it = batch_iterator(
+            ds.test_example, 5, ds.joint_info, batch_size=4,
+            proc_side=64, tile_side=128, aug_cfg=None, shuffle=False,
+            max_epochs=1, drop_remainder=False, n_workers=2,
+        )
+        batches = list(it)
+        assert len(batches) == 2
+        assert batches[0]["source"].shape == (4, 128, 128, 3)
+        np.testing.assert_array_equal(batches[1]["_pad"], [1, 0, 0, 0])
+
+    def test_multihost_partition_disjoint_and_complete(self):
+        ds = SyntheticDataset(imshape=(256, 256))
+        seen = []
+        for host in range(2):
+            it = batch_iterator(
+                ds.test_example, 8, ds.joint_info, batch_size=2,
+                proc_side=64, tile_side=128, shuffle=True, seed=5,
+                max_epochs=1, host_id=host, host_count=2, n_workers=1,
+            )
+            for b in it:
+                seen.append(b["coords3d_true"])
+        # 8 examples over 2 hosts, batch 2 -> 4 batches of 2 = 8 rows, all unique
+        allrows = np.concatenate(seen).reshape(8, -1)
+        assert len(np.unique(allrows.round(3), axis=0)) == 8
