@@ -1,0 +1,89 @@
+"""Headline benchmark: crop-in -> skeleton-out throughput on one TPU chip.
+
+Measures the fused inference graph (normalize + ResNet-50 stride-16-dilated
++ volumetric/2D heads + soft-argmax decode + absolute reconstruction) on
+uint8 256x256 crops, matching the BASELINE.json metric
+"crops/sec/chip ResNet-50@256" (target >= 5000 on v5e).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET = 5000.0  # crops/sec/chip, BASELINE.json north-star
+
+
+def main(batch_size: int = 256, iters: int = 20, flip_tta: bool = False):
+    from metro_pose3d_tpu.config import Config
+    from metro_pose3d_tpu.evaluation.engine import make_predict_fn
+    from metro_pose3d_tpu.geom.joints import H36M_17
+    from metro_pose3d_tpu.models.metro import MetroModel
+
+    cfg = Config()
+    model = MetroModel(cfg.model)
+    rng = np.random.RandomState(0)
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3), jnp.float32),
+        train=False,
+    )
+    crops = jnp.asarray(
+        rng.randint(0, 256, (batch_size, cfg.model.proc_side, cfg.model.proc_side, 3)),
+        jnp.uint8,
+    )
+    intr = jnp.tile(
+        jnp.asarray([[1200.0, 0, 127.5], [0, 1200.0, 127.5], [0, 0, 1.0]], jnp.float32)[None],
+        (batch_size, 1, 1),
+    )
+    fn = make_predict_fn(
+        cfg, H36M_17.mirror_mapping, root_index=0, flip_tta=flip_tta, reconstruct=True
+    )
+
+    # warmup / compile
+    out = fn(variables, crops, intr)
+    jax.block_until_ready(out)
+    out = fn(variables, crops, intr)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(variables, crops, intr)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = batch_size * iters / dt
+
+    # p50 single-batch latency
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(variables, crops, intr))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1000)
+
+    print(
+        json.dumps(
+            {
+                "metric": "crops/sec/chip ResNet-50@256 crop->skeleton"
+                + (" (flip-TTA)" if flip_tta else ""),
+                "value": round(crops_per_sec, 1),
+                "unit": "crops/s",
+                "vs_baseline": round(crops_per_sec / TARGET, 4),
+            }
+        )
+    )
+    return crops_per_sec, p50_ms
+
+
+if __name__ == "__main__":
+    import sys
+
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    main(batch_size=bs)

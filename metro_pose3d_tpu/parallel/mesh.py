@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers — the framework's entire "comm backend".
+
+The reference is single-GPU with a host-side multiprocessing pool; it has no
+NCCL/MPI (SURVEY.md §3.3). The TPU-native equivalent is jax.sharding over an
+ICI mesh: batches shard over the `data` axis, parameters replicate, and XLA
+inserts the collectives (grad psum, sync-BN mean/var, eval all-gather). A
+24M-param ResNet needs no tensor/pipeline sharding — scaling is pure DP; the
+mesh is 1-D by design (documented out-of-scope: TP/PP/EP, §3.3).
+
+Multi-host: `jax.distributed.initialize` + per-host data feeding via
+`jax.make_array_from_process_local_data` (the loader already partitions
+example indices per host).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over `data`, rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host numpy batch -> device arrays sharded over the data axis.
+
+    Single-process path (each process sees the whole mesh); for multi-host
+    use `jax.make_array_from_process_local_data` with the same sharding.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding if np.ndim(x) >= 1 else replicated_sharding(mesh)),
+        batch,
+    )

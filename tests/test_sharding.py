@@ -1,0 +1,108 @@
+"""Multi-chip-without-a-pod tests (SURVEY.md §5.4): the pjit train/predict
+code paths run on an 8-device virtual CPU mesh; 1-way vs 8-way sharding must
+agree (global-batch BN + grad all-reduce correctness)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__
+from metro_pose3d_tpu.config import Config, apply_overrides
+from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+from metro_pose3d_tpu.evaluation.engine import make_predict_fn
+from metro_pose3d_tpu.geom.joints import H36M_17
+from metro_pose3d_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from metro_pose3d_tpu.pipeline.loader import prepare_one, stack_examples
+from metro_pose3d_tpu.train.loop import make_optimizer, make_train_step
+from metro_pose3d_tpu.train.state import create_train_state
+
+TINY = {
+    "model.backbone": "tiny",
+    "model.proc_side": "64",
+    "model.depth": "4",
+    "model.compute_dtype": "float32",
+    "train.warmup_steps": "0",
+}
+
+
+def make_batch(cfg, n):
+    ds = SyntheticDataset(imshape=(256, 256))
+    prepared = [
+        prepare_one(ds.train_example(i), ds.joint_info, cfg.model.proc_side, 128,
+                    cfg.aug, (0, 0, i), 4)
+        for i in range(n)
+    ]
+    return stack_examples(prepared)
+
+
+class TestMesh:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh(self):
+        mesh = make_mesh(8)
+        assert mesh.devices.shape == (8,)
+        assert mesh.axis_names == ("data",)
+
+
+class TestDryrun:
+    def test_dryrun_multichip(self, capsys):
+        __graft_entry__.dryrun_multichip(8)
+        assert "ok" in capsys.readouterr().out
+
+
+class TestShardingEquivalence:
+    def run_steps(self, n_dev, batch_np, n_steps=2):
+        cfg = apply_overrides(Config(), TINY)
+        mesh = make_mesh(n_dev)
+        tx = make_optimizer(cfg)
+        state = create_train_state(cfg, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step = make_train_step(cfg, tx, root_index=0, mesh=mesh)
+        batch = shard_batch(batch_np, mesh)
+        losses = []
+        for _ in range(n_steps):
+            state, metrics = step(state, batch, None)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    def test_1way_vs_8way_identical(self):
+        cfg = apply_overrides(Config(), TINY)
+        batch_np = make_batch(cfg, 8)
+        losses1, state1 = self.run_steps(1, batch_np)
+        losses8, state8 = self.run_steps(8, batch_np)
+        # identical global batch => identical loss trajectory (BN stats are
+        # global under pjit) up to reduction-order float noise
+        np.testing.assert_allclose(losses1, losses8, rtol=2e-3)
+        p1 = jax.tree.leaves(state1.params)[0]
+        p8 = jax.tree.leaves(state8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=5e-4)
+
+
+class TestShardedPredict:
+    def test_predict_on_mesh(self):
+        cfg = apply_overrides(Config(), TINY)
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        mesh = make_mesh(8)
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+        )
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        fn = make_predict_fn(cfg, H36M_17.mirror_mapping, flip_tta=True,
+                             reconstruct=True, mesh=mesh)
+        crops = jnp.zeros((16, 64, 64, 3), jnp.uint8)
+        intr = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 100, (16, 1, 1))
+        out = fn(variables, crops, intr)
+        assert out["pose3d_rootrel"].shape == (16, 17, 3)
+        assert out["pose3d_abs"].shape == (16, 17, 3)
+        assert np.isfinite(np.asarray(out["pose3d_abs"])).all()
+
+
+class TestEntry:
+    def test_entry_compiles_single_chip(self):
+        fn, args = __graft_entry__.entry()
+        out = fn(*args)
+        assert out["pose3d_rootrel"].shape == (4, 17, 3)
+        assert np.isfinite(np.asarray(out["pose3d_abs"])).all()
