@@ -1,0 +1,46 @@
+"""Offline MPI-INF-3DHP protocol evaluation (SURVEY.md §4.3).
+
+Usage: python -m metro_pose3d_tpu.evaluation.eval_3dhp --pred-path=preds.npz
+Official protocol: 14-joint subset, PCK@150mm and AUC (thresholds 0..150mm),
+per-activity when labels are present; predictions may be bone-length-rescaled
+("universal" skeleton) upstream via `--eval.scale_recovery=bone_lengths`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from metro_pose3d_tpu.evaluation.metrics import auc, mpjpe, pck, per_group_table, root_align
+from metro_pose3d_tpu.geom.joints import MPI3DHP_EVAL_14_INDICES
+
+
+def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
+    data = np.load(pred_path, allow_pickle=True)
+    pred = root_align(data["pose3d_rootrel"])[:, joint_subset]
+    gt = root_align(data["gt3d_rootrel"])[:, joint_subset]
+    valid = data["valid"][:, joint_subset] if "valid" in data else None
+
+    result = {
+        "pck_150": pck(pred, gt, valid=valid),
+        "auc": auc(pred, gt, valid=valid),
+        "mpjpe": mpjpe(pred, gt, valid),
+    }
+    if "activities" in data:
+        err = np.linalg.norm(pred - gt, axis=-1)
+        correct = (err <= 150.0).mean(-1) * 100
+        table, _ = per_group_table(correct, data["activities"])
+        result["per_activity_pck"] = table
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pred-path", required=True)
+    args = parser.parse_args(argv)
+    print(json.dumps(evaluate(args.pred_path), indent=2))
+
+
+if __name__ == "__main__":
+    main()

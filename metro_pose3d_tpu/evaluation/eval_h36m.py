@@ -1,0 +1,49 @@
+"""Offline H36M protocol evaluation on dumped predictions (SURVEY.md §4.3).
+
+Usage: python -m metro_pose3d_tpu.evaluation.eval_h36m --pred-path=preds.npz
+Computes root-aligned MPJPE and PA-MPJPE, overall and (when the predictions
+file carries `actions`) per-action.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from metro_pose3d_tpu.evaluation.metrics import mpjpe, pa_mpjpe, per_group_table, root_align
+
+
+def evaluate(pred_path: str) -> dict:
+    data = np.load(pred_path, allow_pickle=True)
+    pred = root_align(data["pose3d_rootrel"])
+    gt = root_align(data["gt3d_rootrel"])
+    valid = data["valid"] if "valid" in data else None
+
+    per_example = np.linalg.norm(pred - gt, axis=-1)
+    if valid is not None:
+        v = valid.astype(bool)
+        per_example = np.where(v, per_example, np.nan)
+    per_example_mean = np.nanmean(per_example, axis=-1)
+
+    result = {
+        "mpjpe": mpjpe(pred, gt, valid),
+        "pa_mpjpe": pa_mpjpe(pred, gt, valid),
+    }
+    if "actions" in data:
+        table, _ = per_group_table(per_example_mean, data["actions"])
+        result["per_action_mpjpe"] = table
+    if "pose3d_abs" in data and "gt3d_abs" in data:
+        result["abs_mpjpe"] = mpjpe(data["pose3d_abs"], data["gt3d_abs"], valid)
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pred-path", required=True)
+    args = parser.parse_args(argv)
+    print(json.dumps(evaluate(args.pred_path), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Test driver: deterministic crops -> fused predict (+flip TTA) -> .npz dump.
+
+Responsibility-parity with the reference's `--test` path (SURVEY.md §4.2):
+evaluation stays two-phase (dump predictions, then score offline) so protocol
+scripts are decoupled from the model. Prediction itself is the fused jit
+graph sharded over the data mesh; per-host loaders feed disjoint shards and
+predictions gather to host.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from metro_pose3d_tpu.config import Config
+from metro_pose3d_tpu.evaluation.engine import make_predict_fn
+from metro_pose3d_tpu.parallel.mesh import shard_batch
+from metro_pose3d_tpu.pipeline.loader import batch_iterator
+
+
+def predict_dataset(
+    cfg: Config,
+    variables,
+    dataset,
+    mesh=None,
+    mean_bones=None,
+    n_examples: int | None = None,
+) -> dict:
+    """Run the test split; returns dict of stacked arrays (also .npz-saved
+    via `save_predictions`)."""
+    ji = dataset.joint_info
+    root = ji.names.index(dataset.root_joint)
+    fn = make_predict_fn(
+        cfg, ji.mirror_mapping, root_index=root, from_tiles=True, mesh=mesh,
+        bone_edges=ji.bones if mean_bones is not None else None,
+        mean_bones=mean_bones,
+    )
+    n = dataset.n_test if n_examples is None else min(n_examples, dataset.n_test)
+    it = batch_iterator(
+        dataset.test_example, n, ji, cfg.eval.batch_size,
+        cfg.model.proc_side, cfg.data.source_side, aug_cfg=None,
+        shuffle=False, max_epochs=1, drop_remainder=False,
+        n_workers=cfg.data.workers, box_expansion=cfg.data.test_box_expansion,
+    )
+    outs = {"pose3d_rootrel": [], "pose3d_abs": [], "pose2d_px": []}
+    gts = {"gt3d_rootrel": [], "gt3d_abs": [], "valid": []}
+    for batch in it:
+        pad = batch.pop("_pad")
+        dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+        pred = jax.device_get(fn(variables, {k: v for k, v in dev_batch.items()}))
+        keep = pad > 0.5
+        for k in outs:
+            if k in pred:
+                outs[k].append(pred[k][keep])
+        gt_abs = batch["coords3d_true"][keep]
+        gts["gt3d_abs"].append(gt_abs)
+        gts["gt3d_rootrel"].append(gt_abs - gt_abs[:, root : root + 1])
+        gts["valid"].append(batch["joint_validity"][keep] > 0.5)
+    result = {k: np.concatenate(v) for k, v in {**outs, **gts}.items() if v}
+    return result
+
+
+def save_predictions(result: dict, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **result)
+    return path

@@ -1,0 +1,90 @@
+"""CLI entry point: train / test / eval / export dispatch.
+
+Responsibility-parity with the reference's `./main.py` (SURVEY.md §2 L6):
+
+  python -m metro_pose3d_tpu.main --train --data.dataset=h36m \
+      --train.logdir=/tmp/run1 --train.num_steps=400000
+  python -m metro_pose3d_tpu.main --test --eval.pred_path=preds.npz ...
+  python -m metro_pose3d_tpu.main --eval-h36m --eval.pred_path=preds.npz
+  python -m metro_pose3d_tpu.main --export=model_dir ...
+
+Config overrides use dotted flags (`--section.field=value`, see config.py);
+the full config is dumped into the logdir for reproducibility.
+"""
+from __future__ import annotations
+
+import sys
+
+import jax
+
+
+def _load_variables(cfg):
+    from metro_pose3d_tpu.train.checkpoint import Checkpointer
+    from metro_pose3d_tpu.train.loop import make_optimizer
+    from metro_pose3d_tpu.train.state import create_train_state
+
+    state = create_train_state(cfg, make_optimizer(cfg))
+    logdir = cfg.train.load_path or cfg.train.logdir
+    state, step = Checkpointer(logdir).restore(state)
+    if step == 0:
+        print(f"warning: no checkpoint under {logdir}; using random init")
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def main(argv=None):
+    from metro_pose3d_tpu.config import parse_cli
+
+    cfg, rest = parse_cli(argv if argv is not None else sys.argv[1:])
+    modes = {a for a in rest if a.startswith("--")}
+
+    if "--train" in modes:
+        from metro_pose3d_tpu.data import get_dataset
+        from metro_pose3d_tpu.train.trainer import train
+
+        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        dataset2d = (
+            get_dataset(cfg.data.dataset_2d, cfg.data.data_root)
+            if cfg.data.dataset_2d
+            else None
+        )
+        train(cfg, dataset, dataset2d)
+        return 0
+
+    if "--test" in modes:
+        from metro_pose3d_tpu.data import get_dataset
+        from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+
+        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        variables = _load_variables(cfg)
+        result = predict_dataset(cfg, variables, dataset, mesh=make_mesh())
+        path = cfg.eval.pred_path or f"{cfg.train.logdir}/predictions.npz"
+        save_predictions(result, path)
+        print(f"saved predictions to {path}")
+        return 0
+
+    if "--eval-h36m" in modes:
+        from metro_pose3d_tpu.evaluation.eval_h36m import main as eval_main
+
+        eval_main(["--pred-path", cfg.eval.pred_path])
+        return 0
+
+    if "--eval-3dhp" in modes:
+        from metro_pose3d_tpu.evaluation.eval_3dhp import main as eval_main
+
+        eval_main(["--pred-path", cfg.eval.pred_path])
+        return 0
+
+    export = [a for a in rest if a.startswith("--export=")]
+    if export:
+        from metro_pose3d_tpu.export import export_model
+
+        export_model(cfg, _load_variables(cfg), export[0].split("=", 1)[1])
+        return 0
+
+    print(__doc__)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

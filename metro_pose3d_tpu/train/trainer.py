@@ -1,0 +1,145 @@
+"""High-level training driver: data feed, step loop, logging, checkpoints.
+
+Responsibility-parity with the reference's `main.py --train` Session loop
+(SURVEY.md §4.1), with the TPU-native split: everything numeric lives in the
+jitted train step; this driver only moves host batches onto the mesh and
+does bookkeeping (metrics, periodic validation MPJPE, orbax checkpoints with
+auto-resume, config dump into the logdir for reproducibility).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metro_pose3d_tpu.config import Config, config_to_json
+from metro_pose3d_tpu.evaluation.metrics import mpjpe
+from metro_pose3d_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from metro_pose3d_tpu.pipeline.loader import batch_iterator, prepare_one, stack_examples
+from metro_pose3d_tpu.pipeline.occluders import get_occluder_bank
+from metro_pose3d_tpu.train.checkpoint import Checkpointer
+from metro_pose3d_tpu.train.joint_mapping import name_mapping, remap_prepared
+from metro_pose3d_tpu.train.loop import make_optimizer, make_train_step
+from metro_pose3d_tpu.train.state import create_train_state
+
+log = logging.getLogger("metro_tpu.train")
+
+
+def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None):
+    """Yield host batches: `batch_size` 3D rows (+`batch_size_2d` remapped 2D
+    rows when an auxiliary 2D dataset is configured)."""
+    ji = dataset.joint_info
+    it3d = batch_iterator(
+        dataset.train_example, dataset.n_train, ji, cfg.train.batch_size,
+        cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
+        seed=cfg.train.seed, n_workers=cfg.data.workers,
+        host_id=jax.process_index(), host_count=jax.process_count(),
+    )
+    if dataset2d is None or cfg.train.batch_size_2d == 0:
+        yield from it3d
+        return
+
+    mapping = name_mapping(dataset2d.joint_info, ji)
+
+    def get2d(i):
+        return dataset2d.train_example(i)
+
+    def prep2d_batchify():
+        it = batch_iterator(
+            get2d, dataset2d.n_train, dataset2d.joint_info, cfg.train.batch_size_2d,
+            cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
+            seed=cfg.train.seed + 1, n_workers=cfg.data.workers,
+            host_id=jax.process_index(), host_count=jax.process_count(),
+        )
+        yield from it
+
+    it2d = prep2d_batchify()
+    for b3, b2 in zip(it3d, it2d):
+        # remap 2D rows into the 3D joint space, then concat along batch
+        n2 = len(b2["is_3d"])
+        rows = [
+            remap_prepared({k: b2[k][i] for k in b2 if k != "_pad"}, mapping)
+            for i in range(n2)
+        ]
+        b2r = stack_examples(rows)
+        merged = {
+            k: np.concatenate([b3[k], b2r[k]]) for k in b3 if k != "_pad"
+        }
+        yield merged
+
+
+def validate(cfg: Config, variables, dataset, mesh, n_batches=4):
+    """Quick validation MPJPE on the test split (no TTA, no dump)."""
+    from metro_pose3d_tpu.evaluation.predict import predict_dataset
+
+    n = min(cfg.eval.batch_size * n_batches, dataset.n_test)
+    result = predict_dataset(cfg, variables, dataset, mesh=mesh, n_examples=n)
+    return mpjpe(result["pose3d_rootrel"], result["gt3d_rootrel"], result["valid"])
+
+
+def train(cfg: Config, dataset, dataset2d=None, mesh=None,
+          max_steps: Optional[int] = None, occluder_root: Optional[str] = None):
+    """Run training to `num_steps` (or `max_steps`); returns final state."""
+    os.makedirs(cfg.train.logdir, exist_ok=True)
+    with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
+        f.write(config_to_json(cfg))
+    logging.basicConfig(level=logging.INFO)
+
+    mesh = mesh or make_mesh()
+    repl = replicated_sharding(mesh)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, tx)
+
+    ckpt = Checkpointer(cfg.train.logdir, cfg.train.keep_checkpoints)
+    state, start_step = ckpt.restore(state)
+    if start_step:
+        log.info("resumed from step %d", start_step)
+    state = jax.device_put(state, repl)
+
+    bank = jax.device_put(
+        jnp.asarray(get_occluder_bank(occluder_root, tile_side=96), jnp.float32), repl
+    )
+    root = dataset.joint_info.names.index(dataset.root_joint)
+    step_fn = make_train_step(cfg, tx, root_index=root, mesh=mesh)
+
+    total = min(cfg.train.num_steps, max_steps or cfg.train.num_steps)
+    it = mixed_batch_iterator(cfg, dataset, dataset2d)
+    t_last = time.perf_counter()
+    n_since = 0
+    history = []
+    for step_i in range(start_step, total):
+        batch = shard_batch(next(it), mesh)
+        state, metrics = step_fn(state, batch, bank)
+        n_since += len(batch["is_3d"])
+
+        if (step_i + 1) % cfg.train.log_every == 0 or step_i + 1 == total:
+            metrics = jax.device_get(metrics)
+            dt = time.perf_counter() - t_last
+            log.info(
+                "step %d loss=%.4f (3d=%.4f 2d=%.4f) |g|=%.2f %.1f crops/s",
+                step_i + 1, metrics["loss"], metrics["loss3d"], metrics["loss2d"],
+                metrics["grad_norm"], n_since / dt,
+            )
+            history.append({"step": step_i + 1, **{k: float(v) for k, v in metrics.items()}})
+            t_last = time.perf_counter()
+            n_since = 0
+
+        if (step_i + 1) % cfg.train.checkpoint_every == 0 or step_i + 1 == total:
+            ckpt.save(step_i + 1, jax.device_get(state), force=step_i + 1 == total)
+
+        if cfg.train.validate_every and (step_i + 1) % cfg.train.validate_every == 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            val = validate(cfg, variables, dataset, mesh)
+            log.info("step %d validation MPJPE %.2f mm", step_i + 1, val)
+            history.append({"step": step_i + 1, "val_mpjpe": val})
+
+    ckpt.wait()
+    with open(os.path.join(cfg.train.logdir, "history.json"), "w") as f:
+        json.dump(history, f)
+    return state

@@ -1,0 +1,94 @@
+"""Protocol-eval tests: metric correctness on synthetic cases and the full
+two-phase predict -> dump -> score path on the synthetic dataset."""
+import numpy as np
+import pytest
+
+from metro_pose3d_tpu.config import Config, apply_overrides
+from metro_pose3d_tpu.evaluation.eval_3dhp import evaluate as eval_3dhp
+from metro_pose3d_tpu.evaluation.eval_h36m import evaluate as eval_h36m
+from metro_pose3d_tpu.evaluation.metrics import auc, mpjpe, pa_mpjpe, pck, per_group_table
+
+RNG = np.random.RandomState(4)
+
+TINY = {
+    "model.backbone": "tiny",
+    "model.proc_side": "64",
+    "model.depth": "4",
+    "model.compute_dtype": "float32",
+    "eval.batch_size": "8",
+}
+
+
+class TestMetrics:
+    def test_mpjpe_known_offset(self):
+        gt = RNG.uniform(-100, 100, (10, 17, 3))
+        pred = gt + np.array([3.0, 4.0, 0.0])  # 5mm offset everywhere
+        assert mpjpe(pred, gt) == pytest.approx(5.0)
+
+    def test_mpjpe_validity_mask(self):
+        gt = np.zeros((1, 3, 3))
+        pred = gt.copy()
+        pred[0, 0] += 100.0
+        valid = np.array([[False, True, True]])
+        assert mpjpe(pred, gt, valid) == pytest.approx(0.0)
+
+    def test_pa_mpjpe_invariant_to_similarity(self):
+        gt = RNG.uniform(-100, 100, (4, 17, 3))
+        ang = 0.4
+        rot = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        pred = 1.3 * gt @ rot.T + 50.0
+        assert pa_mpjpe(pred, gt) == pytest.approx(0.0, abs=1e-6)
+
+    def test_pck_auc(self):
+        gt = np.zeros((1, 4, 3))
+        pred = np.zeros((1, 4, 3))
+        pred[0, :2, 0] = 200.0  # 2 of 4 joints off by 200mm (> 150)
+        assert pck(pred, gt) == pytest.approx(50.0)
+        assert 40.0 < auc(pred, gt) < 60.0
+
+    def test_per_group_table(self):
+        table, overall = per_group_table([1.0, 2.0, 3.0], ["a", "a", "b"])
+        assert table == {"a": 1.5, "b": 3.0}
+        assert overall == pytest.approx(2.0)
+
+
+class TestPredictDump:
+    @pytest.fixture(scope="class")
+    def pred_file(self, tmp_path_factory):
+        import jax
+
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+        from metro_pose3d_tpu.models.metro import MetroModel
+        import jax.numpy as jnp
+
+        cfg = apply_overrides(Config(), TINY)
+        ds = SyntheticDataset(n_test=10, imshape=(256, 256))
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+        )
+        result = predict_dataset(cfg, variables, ds, n_examples=10)
+        path = str(tmp_path_factory.mktemp("preds") / "p.npz")
+        save_predictions(result, path)
+        return path, result
+
+    def test_shapes_complete(self, pred_file):
+        _, result = pred_file
+        assert result["pose3d_rootrel"].shape == (10, 17, 3)
+        assert result["gt3d_rootrel"].shape == (10, 17, 3)
+        assert result["pose3d_abs"].shape == (10, 17, 3)
+        assert np.isfinite(result["pose3d_abs"]).all()
+
+    def test_eval_h36m_runs(self, pred_file):
+        path, _ = pred_file
+        res = eval_h36m(path)
+        # random weights: large but finite errors; PA <= raw
+        assert 0 < res["pa_mpjpe"] <= res["mpjpe"] < 5000
+        assert np.isfinite(res["abs_mpjpe"])
+
+    def test_eval_3dhp_runs(self, pred_file):
+        path, _ = pred_file
+        res = eval_3dhp(path, joint_subset=np.arange(14))
+        assert 0 <= res["pck_150"] <= 100
+        assert 0 <= res["auc"] <= 100

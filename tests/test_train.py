@@ -1,0 +1,145 @@
+"""Trainer-driver tests: short synthetic run, checkpoint auto-resume, mixed
+2D/3D batches with joint remapping, export round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+from metro_pose3d_tpu.config import Config, apply_overrides
+from metro_pose3d_tpu.geom.joints import H36M_17, MPII_16
+from metro_pose3d_tpu.train.joint_mapping import name_mapping, remap_prepared
+
+TINY = {
+    "model.backbone": "tiny",
+    "model.proc_side": "64",
+    "model.depth": "4",
+    "model.compute_dtype": "float32",
+    "train.batch_size": "8",
+    "train.batch_size_2d": "0",
+    "train.num_steps": "4",
+    "train.log_every": "2",
+    "train.checkpoint_every": "2",
+    "train.validate_every": "0",
+    "train.warmup_steps": "0",
+    "eval.batch_size": "8",
+    "data.source_side": "128",
+    "data.workers": "2",
+}
+
+
+class TestJointMapping:
+    def test_name_mapping(self):
+        m = name_mapping(MPII_16, H36M_17)
+        # pelv exists in both; htop too; 'spin' only in h36m
+        assert m[H36M_17.index_of("pelv")] == MPII_16.index_of("pelv")
+        assert m[H36M_17.index_of("htop")] == MPII_16.index_of("htop")
+        assert m[H36M_17.index_of("spin")] == -1
+
+    def test_remap_prepared(self):
+        m = name_mapping(MPII_16, H36M_17)
+        j_src = 16
+        prepared = {
+            "coords2d_true": np.arange(j_src * 2, dtype=np.float32).reshape(j_src, 2),
+            "coords3d_true": np.zeros((j_src, 3), np.float32),
+            "joint_validity": np.ones(j_src, np.float32),
+            "joint_validity_2d": np.ones(j_src, np.float32),
+        }
+        out = remap_prepared(prepared, m)
+        assert out["coords2d_true"].shape == (17, 2)
+        # unmatched joints are invalid
+        assert out["joint_validity_2d"][H36M_17.index_of("spin")] == 0.0
+        # matched joints carry the source row
+        np.testing.assert_array_equal(
+            out["coords2d_true"][H36M_17.index_of("lwri")],
+            prepared["coords2d_true"][MPII_16.index_of("lwri")],
+        )
+
+
+class TestTrainerRun:
+    def test_short_run_and_resume(self, tmp_path):
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+        from metro_pose3d_tpu.train.trainer import train
+
+        cfg = apply_overrides(
+            Config(), {**TINY, "train.logdir": str(tmp_path / "run")}
+        )
+        ds = SyntheticDataset(n_train=32, n_test=8, imshape=(256, 256))
+        mesh = make_mesh(4)
+        state = train(cfg, ds, mesh=mesh, max_steps=4)
+        assert int(state.step) == 4
+        assert os.path.exists(tmp_path / "run" / "config.json")
+        assert os.path.exists(tmp_path / "run" / "history.json")
+
+        # resume: raising num_steps continues from the checkpoint at step 4
+        cfg2 = apply_overrides(
+            Config(),
+            {**TINY, "train.num_steps": "6", "train.logdir": str(tmp_path / "run")},
+        )
+        state2 = train(cfg2, ds, mesh=mesh, max_steps=6)
+        assert int(state2.step) == 6
+
+    def test_mixed_2d3d_batches(self, tmp_path):
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.train.trainer import mixed_batch_iterator
+
+        cfg = apply_overrides(
+            Config(),
+            {**TINY, "train.batch_size": "4", "train.batch_size_2d": "2"},
+        )
+        ds3d = SyntheticDataset(n_train=16, imshape=(256, 256))
+
+        class Synth2D:
+            joint_info = MPII_16
+            root_joint = "pelv"
+            n_train = 16
+
+            def train_example(self, i):
+                ex = ds3d.train_example(i)
+                px = ex.camera.world_to_image(ex.world_coords)
+                from metro_pose3d_tpu.pipeline.crops import Example
+
+                # fake MPII: 2D-only projections remapped to the MPII joint set
+                m = name_mapping(H36M_17, MPII_16)
+                coords = np.where((m >= 0)[:, None], px[np.maximum(m, 0)], 0.0)
+                return Example(
+                    image=ex.image, bbox=ex.bbox, camera=ex.camera,
+                    image_coords=coords, joint_validity=m >= 0,
+                )
+
+        it = mixed_batch_iterator(cfg, ds3d, Synth2D())
+        batch = next(it)
+        assert batch["is_3d"].shape == (6,)
+        np.testing.assert_array_equal(batch["is_3d"], [1, 1, 1, 1, 0, 0])
+        assert batch["coords2d_true"].shape == (6, 17, 2)
+        # 2D rows must have some valid 2D joints and no valid 3D joints
+        assert batch["joint_validity_2d"][4:].sum() > 0
+        assert batch["joint_validity"][4:].sum() == 0
+
+
+class TestExport:
+    def test_export_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from metro_pose3d_tpu.export import export_model, load_exported
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        cfg = apply_overrides(Config(), TINY)
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+        )
+        out = export_model(cfg, variables, str(tmp_path / "bundle"))
+        cfg2, vars2, fn = load_exported(out)
+        assert cfg2.model.proc_side == 64
+        crops = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+        intr = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 100, (2, 1, 1))
+        pred = fn(vars2, crops, intr)
+        assert pred["pose3d_rootrel"].shape == (2, 17, 3)
+        # exported params give identical predictions to the live ones
+        pred_live = fn(variables, crops, intr)
+        np.testing.assert_allclose(
+            np.asarray(pred["pose3d_rootrel"]), np.asarray(pred_live["pose3d_rootrel"]),
+            atol=1e-6,
+        )
