@@ -97,6 +97,47 @@ def make_example(index: int, seed: int = 0, imshape=(512, 512)) -> Example:
     return Example(image=img, bbox=bbox, camera=cam, world_coords=world)
 
 
+def make_multiperson_frame(n_persons: int, seed: int = 0, imshape=(512, 910)):
+    """One synthetic frame with several people under a single camera.
+
+    -> (image uint8 RGB, boxes [P,4], Camera, world [P,17,3] mm). Drives the
+    multi-person estimator tests/bench (BASELINE config 5) without licensed
+    detector or dataset assets.
+    """
+    import cv2
+
+    rng = np.random.default_rng((seed, 777))
+    h, w = imshape
+    cam = Camera.from_fov(65.0, imshape)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:] = rng.integers(10, 70, 3).astype(np.uint8)
+    for _ in range(16):
+        p1 = rng.integers(0, (w, h)).astype(int)
+        p2 = rng.integers(0, (w, h)).astype(int)
+        cv2.line(img, tuple(p1), tuple(p2),
+                 tuple(int(v) for v in rng.integers(0, 110, 3)),
+                 int(rng.integers(1, 6)))
+
+    worlds, boxes = [], []
+    colors = _joint_colors(len(_BASE_POSE))
+    for p in range(n_persons):
+        depth = rng.uniform(3000, 6500)
+        # spread people horizontally so boxes don't fully overlap
+        x = (p - (n_persons - 1) / 2) * depth * 0.45 / max(n_persons / 3, 1)
+        root = np.array([x, rng.uniform(-0.05, 0.1) * depth, depth])
+        world = random_pose(rng) + root
+        px = cam.world_to_image(world)
+        radius = max(2, int(180 / depth * cam.K[0, 0] / 55))
+        for pt, c in zip(px, colors):
+            if np.all(np.isfinite(pt)):
+                cv2.circle(img, (int(round(pt[0])), int(round(pt[1]))), radius,
+                           tuple(int(v) for v in c), -1)
+        lo, hi = px.min(0) - 50, px.max(0) + 50
+        boxes.append([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+        worlds.append(world)
+    return img, np.asarray(boxes, np.float64), cam, np.stack(worlds)
+
+
 class SyntheticDataset:
     joint_info: JointInfo = H36M_17
     root_joint = "pelv"

@@ -61,6 +61,48 @@ def predict_dataset(
     return result
 
 
+def predict_multiperson_dataset(
+    cfg: Config,
+    variables,
+    dataset,
+    n_frames: int | None = None,
+    mean_bones=None,
+) -> dict:
+    """Frame-wise multi-person prediction (BASELINE config 5; e.g. 3DPW).
+
+    `dataset` must expose `n_test_frames` and
+    `test_frame(i) -> (image, boxes, camera, world [P,J,3], seq)`.
+    Returns the eval_3dpw dump layout (one row per person instance).
+    """
+    from metro_pose3d_tpu.multiperson import MultiPersonEstimator
+
+    ji = dataset.joint_info
+    root = ji.names.index(dataset.root_joint)
+    est = MultiPersonEstimator(
+        cfg, variables, ji, root_name=dataset.root_joint,
+        bone_edges=ji.bones if mean_bones is not None else None,
+        mean_bones=mean_bones,
+    )
+    n = dataset.n_test_frames if n_frames is None else min(n_frames, dataset.n_test_frames)
+    rows = {"pose3d": [], "pose3d_abs": [], "gt3d": [], "gt3d_abs": [], "seq": []}
+    for i in range(n):
+        image, boxes, cam, world, seq = dataset.test_frame(i)
+        out = est.estimate_frame(image, boxes, cam)
+        gt_abs = np.stack([cam.world_to_camera(w) for w in world])
+        rows["pose3d"].append(out["pose3d_rootrel"])
+        rows["pose3d_abs"].append(out["pose3d_abs"])
+        rows["gt3d"].append(gt_abs - gt_abs[:, root : root + 1])
+        rows["gt3d_abs"].append(gt_abs)
+        rows["seq"].extend([seq] * len(boxes))
+    return {
+        "pose3d": np.concatenate(rows["pose3d"]),
+        "pose3d_abs": np.concatenate(rows["pose3d_abs"]),
+        "gt3d": np.concatenate(rows["gt3d"]).astype(np.float32),
+        "gt3d_abs": np.concatenate(rows["gt3d_abs"]).astype(np.float32),
+        "seq": np.asarray(rows["seq"]),
+    }
+
+
 def save_predictions(result: dict, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **result)

@@ -130,10 +130,41 @@ MPI3DHP_EVAL_14_INDICES = np.array(
     np.int32,
 )
 
+# --- SMPL, 24 joints (3DPW ground truth; multi-person eval, config 5) ----------
+_SMPL_NAMES = (
+    "pelv", "lhip", "rhip", "spi1", "lkne", "rkne", "spi2", "lank", "rank",
+    "spi3", "lfoo", "rfoo", "neck", "lcla", "rcla", "head", "lsho", "rsho",
+    "lelb", "relb", "lwri", "rwri", "lhan", "rhan",
+)
+_SMPL_EDGES = _edges_by_name(
+    _SMPL_NAMES,
+    [
+        ("pelv", "lhip"), ("lhip", "lkne"), ("lkne", "lank"), ("lank", "lfoo"),
+        ("pelv", "rhip"), ("rhip", "rkne"), ("rkne", "rank"), ("rank", "rfoo"),
+        ("pelv", "spi1"), ("spi1", "spi2"), ("spi2", "spi3"), ("spi3", "neck"),
+        ("neck", "head"),
+        ("spi3", "lcla"), ("lcla", "lsho"), ("lsho", "lelb"), ("lelb", "lwri"),
+        ("lwri", "lhan"),
+        ("spi3", "rcla"), ("rcla", "rsho"), ("rsho", "relb"), ("relb", "rwri"),
+        ("rwri", "rhan"),
+    ],
+)
+SMPL_24 = JointInfo(_SMPL_NAMES, _SMPL_EDGES)
+
+# The common 3DPW reduced evaluation subset (14 LSP-style joints).
+SMPL_EVAL_14_INDICES = np.array(
+    [SMPL_24.index_of(n) for n in (
+        "rank", "rkne", "rhip", "lhip", "lkne", "lank",
+        "rwri", "relb", "rsho", "lsho", "lelb", "lwri", "neck", "head",
+    )],
+    np.int32,
+)
+
 _REGISTRY = {
     "h36m_17": H36M_17,
     "mpii_16": MPII_16,
     "mpi_inf_3dhp_17": MPI3DHP_17,
+    "smpl_24": SMPL_24,
 }
 
 

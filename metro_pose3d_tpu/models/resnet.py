@@ -18,26 +18,79 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
-def max_pool_3x3_stride2(x):
-    """3x3/2 max pool as a shift-and-max over 9 slices (SAME padding).
 
-    Deliberately NOT `lax.reduce_window`: on the experimental axon TPU
-    platform the select-and-scatter gradient of reduce_window-max produces
-    NaNs (observed on jax 0.9.0 / v5e; minimal repro: grad of
-    sum(reduce_window_max(conv(x))**2)). Elementwise `jnp.maximum` selects
-    have a safe gradient, and XLA fuses the 9-way max into one kernel; the
-    pool only runs once per forward (stem), so cost is negligible.
+class StemConv(nn.Module):
+    """7x7/2 stem convolution, computed as a space-to-depth 4x4/1 conv.
+
+    A 7x7 stride-2 conv on a 3-channel image keeps the MXU ~3% busy: the
+    contraction dimension (7*7*3) is dominated by the tiny channel count and
+    the strided access pattern tiles poorly. The standard TPU remedy is
+    space-to-depth: group the input into 2x2 pixel blocks ([B,S,S,3] ->
+    [B,S/2,S/2,12]) and run the EXACTLY equivalent 4x4 stride-1 conv whose
+    kernel is the 7x7 kernel scattered over an 8x8 grid (8th row/col zero).
+    Same math, same parameter (a [7,7,3,F] kernel, so ImageNet weight
+    conversion is unaffected).
+
+    Equivalence (verified by tests/test_model.py): with stride 2 and XLA
+    SAME padding (pad 2 lo / 3 hi for kernel 7, even input), output pixel y
+    reads input rows 2y-2..2y+4 = block rows y-1..y+2 with in-block offset
+    a = (row index parity), i.e. kernel tap dy = 2*by + a. Padding for the
+    block-space conv is 1 lo / 2 hi, which is XLA SAME for kernel 4 stride 1.
+
+    Measured on the axon v5e: standalone the s2d conv is NOT faster here (the
+    in-graph space-to-depth transpose costs more than the small-channel conv
+    saves at this platform's effective elementwise bandwidth), so the default
+    is the direct 7x7/2 conv; the s2d path stays selectable and exactness-
+    tested for platforms where the transpose is free (host-side s2d or
+    fusion-friendlier XLA versions).
     """
-    h, w = x.shape[1], x.shape[2]
-    out_h, out_w = (h + 1) // 2, (w + 1) // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-1e30)
-    out = None
-    for dy in range(3):
-        for dx in range(3):
-            s = xp[:, dy : dy + h : 2, dx : dx + w : 2, :][:, :out_h, :out_w]
-            out = s if out is None else jnp.maximum(out, s)
-    return out
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, use_s2d: bool = False):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        b, h, w, c = x.shape
+        if not use_s2d or h % 2 or w % 2:
+            return lax.conv_general_dilated(
+                x, kernel, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        x2 = (
+            x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = (
+            k8.reshape(4, 2, 4, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        return lax.conv_general_dilated(
+            x2, k4, (1, 1), [(1, 2), (1, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+# 3x3/2 SAME max pool. Pallas kernel on TPU (the XLA lowerings of this
+# window op run ~50x off memory speed-of-light on axon), shift-and-max XLA
+# decomposition for the gradient and on CPU — see ops/pool_pallas.py. The
+# alignment matches TF/XLA SAME (window at 2i..2i+2, pad high only), i.e.
+# the reference's slim `max_pool2d(..., 'SAME')`, which matters for
+# ImageNet-checkpoint conversion parity.
+from metro_pose3d_tpu.ops.pool_pallas import (  # noqa: E402
+    max_pool_3x3_stride2_same as max_pool_3x3_stride2,
+)
 
 
 RESNET_DEPTHS = {
@@ -165,10 +218,7 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if self.variant in BASIC_BLOCK else Bottleneck
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            base, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv_stem",
-        )(x)
+        x = StemConv(base, dtype=self.dtype, name="conv_stem")(x)
         if not self.preact:
             x = nn.relu(
                 nn.BatchNorm(

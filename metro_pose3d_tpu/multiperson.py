@@ -1,0 +1,182 @@
+"""Multi-person end-to-end estimation (BASELINE.json config 5).
+
+Full frame + detector bounding boxes -> batched MeTRo crops -> fused
+crop-in/skeleton-out forward -> absolute metric back-projection, with every
+person's pose expressed in the ORIGINAL camera frame so a frame's skeletons
+share one consistent 3D space.
+
+TPU-shaped design decisions:
+* The per-frame person count is dynamic, but XLA wants static shapes: crops
+  are padded to the next BUCKET size (powers of two), so each bucket compiles
+  once and stays cached (SURVEY.md §8 hard part 5).
+* All pixel work (homography warp of the source tiles, normalization,
+  flip-TTA, decode, absolute reconstruction) runs in ONE jit program per
+  bucket — same fused graph as single-person eval, plus the per-crop
+  `rot_to_orig` rotation folded in at the end.
+* Host work per person is tiny: 3x3 camera algebra + a source-tile slice.
+
+The reference repo has no multi-person driver (it consumes pre-cropped
+single-person examples); this subsystem covers the driver-mandated config 5
+(detector bboxes -> batched crops -> absolute back-projection).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metro_pose3d_tpu.config import Config
+from metro_pose3d_tpu.geom.camera import Camera, reproject_image_points
+from metro_pose3d_tpu.geom.joints import JointInfo
+from metro_pose3d_tpu.models.metro import MetroModel, decode_metro
+from metro_pose3d_tpu.ops.decode import root_relative
+from metro_pose3d_tpu.ops.pose3d import reconstruct_absolute, rescale_to_bone_lengths
+from metro_pose3d_tpu.ops.tta import flip_crop, unflip_pose2d, unflip_pose3d
+from metro_pose3d_tpu.pipeline.crops import prepare_inference_crop
+from metro_pose3d_tpu.pipeline.device import device_augment
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def make_multiperson_predict_fn(
+    cfg: Config,
+    mirror_mapping: np.ndarray,
+    root_index: int = 0,
+    flip_tta: bool | None = None,
+    bone_edges: np.ndarray | None = None,
+    mean_bones: np.ndarray | None = None,
+):
+    """Fused jit fn: (variables, batch) -> per-crop poses, rotated into the
+    original camera frame via the batch's `rot_to_orig`."""
+    model = MetroModel(cfg.model)
+    flip_tta = cfg.eval.flip_tta if flip_tta is None else flip_tta
+    use_bones = (
+        cfg.eval.scale_recovery == "bone_lengths"
+        and bone_edges is not None
+        and mean_bones is not None
+    )
+    mirror = jnp.asarray(mirror_mapping)
+    edges = jnp.asarray(bone_edges) if bone_edges is not None else None
+    bones = jnp.asarray(mean_bones) if mean_bones is not None else None
+
+    @jax.jit
+    def predict(variables, batch):
+        crops = device_augment(batch, cfg.model.proc_side, train=False)
+        b = crops.shape[0]
+        if flip_tta:
+            both = jnp.concatenate([crops, flip_crop(crops)], axis=0)
+            l3d, l2d = model.apply(variables, both, train=False)
+            p3, p2 = decode_metro(l3d, l2d, cfg.model)
+            pose3d = 0.5 * (p3[:b] + unflip_pose3d(p3[b:], mirror))
+            pose2d = 0.5 * (p2[:b] + unflip_pose2d(p2[b:], mirror, cfg.model.proc_side))
+        else:
+            l3d, l2d = model.apply(variables, crops, train=False)
+            pose3d, pose2d = decode_metro(l3d, l2d, cfg.model)
+
+        pose3d_rel = root_relative(pose3d, root_index)
+        if use_bones:
+            pose3d_rel = rescale_to_bone_lengths(pose3d_rel, edges, bones)
+        pose3d_abs = reconstruct_absolute(pose3d_rel, pose2d, batch["intrinsics"])
+
+        # rotate out of each virtual crop camera into the shared orig frame
+        rot = batch["rot_to_orig"]  # [B, 3, 3]
+        pose3d_abs_orig = jnp.einsum("bij,bkj->bki", rot, pose3d_abs)
+        pose3d_rel_orig = jnp.einsum("bij,bkj->bki", rot, pose3d_rel)
+        return {
+            "pose3d_abs": pose3d_abs_orig,
+            "pose3d_rootrel": pose3d_rel_orig,
+            "pose2d_crop_px": pose2d,
+        }
+
+    return predict
+
+
+class MultiPersonEstimator:
+    """image + boxes -> absolute skeletons (mm) in the frame's camera."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        variables,
+        joint_info: JointInfo,
+        root_name: str = "pelv",
+        buckets=DEFAULT_BUCKETS,
+        **predict_kw,
+    ):
+        self.cfg = cfg
+        self.variables = variables
+        self.joint_info = joint_info
+        self.buckets = tuple(sorted(buckets))
+        root = (
+            joint_info.names.index(root_name)
+            if root_name in joint_info.names
+            else 0
+        )
+        self._predict = make_multiperson_predict_fn(
+            cfg, joint_info.mirror_mapping, root_index=root, **predict_kw
+        )
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def estimate_frame(self, image: np.ndarray, boxes, camera: Camera | None = None):
+        """boxes: [N, 4] (x, y, w, h) detector boxes. camera defaults to a
+        60-degree-FoV pinhole at the image center (the standard guess when
+        intrinsics are unknown). Returns dict of [N, ...] numpy arrays;
+        `pose2d_px` is in FULL-IMAGE pixels of the input camera.
+        """
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+        if camera is None:
+            camera = Camera.from_fov(60.0, image.shape[:2])
+        n = len(boxes)
+        if n == 0:
+            j = self.joint_info.n_joints
+            return {
+                "pose3d_abs": np.zeros((0, j, 3), np.float32),
+                "pose3d_rootrel": np.zeros((0, j, 3), np.float32),
+                "pose2d_px": np.zeros((0, j, 2), np.float32),
+            }
+        if n > self.buckets[-1]:  # process in chunks, then concatenate
+            parts = [
+                self.estimate_frame(image, boxes[s : s + self.buckets[-1]], camera)
+                for s in range(0, n, self.buckets[-1])
+            ]
+            return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+        prepared = [
+            prepare_inference_crop(
+                image, box, camera, self.cfg.model.proc_side,
+                self.cfg.data.source_side, self.cfg.data.test_box_expansion,
+            )
+            for box in boxes
+        ]
+        crop_cams = [p.pop("_crop_cam") for p in prepared]
+        bucket = self._bucket(n)
+        prepared += [prepared[-1]] * (bucket - n)
+        batch = {
+            k: jnp.asarray(np.stack([p[k] for p in prepared]))
+            for k in prepared[0]
+        }
+        out = jax.tree.map(lambda t: np.asarray(t[:n]), self._predict(self.variables, batch))
+
+        # 2D joints back in full-image pixels (through each crop homography)
+        pose2d_px = np.stack(
+            [
+                reproject_image_points(out["pose2d_crop_px"][i], crop_cams[i], camera)
+                for i in range(n)
+            ]
+        ).astype(np.float32)
+        return {
+            "pose3d_abs": out["pose3d_abs"],
+            "pose3d_rootrel": out["pose3d_rootrel"],
+            "pose2d_px": pose2d_px,
+        }
+
+    def estimate_batch(self, frames):
+        """Convenience: list of (image, boxes, camera) -> list of results."""
+        return [self.estimate_frame(*f) for f in frames]

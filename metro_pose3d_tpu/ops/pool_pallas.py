@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: 3x3 stride-2 SAME max pool (the ResNet stem pool).
+
+Why a kernel: on the axon TPU platform both `lax.reduce_window` and a
+shift-and-max decomposition of this pool run ~50x off HBM speed-of-light
+(~11-13 ms for [256,128,128,64] bf16 where the memory traffic bounds it at
+~0.25 ms) — XLA lowers the strided-window access pattern poorly. The pool is
+pure VPU work with static shapes, so a Pallas kernel with one image per grid
+step recovers the bandwidth-bound cost. Semantics match XLA/TF "SAME"
+(window at rows/cols 2i..2i+2, pad high only), which is what the reference's
+slim `max_pool2d(..., padding='SAME')` computes — required for ImageNet
+weight-conversion parity (SURVEY.md §8 hard part 1).
+
+Forward only; the backward pass (training) uses the shift-and-max
+decomposition in `models/resnet.py`, wired together via `jax.custom_vjp`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -3.0e38  # large-negative fill; representable in bf16/f32
+
+
+_ROWS_PER_CHUNK = 8  # output rows processed per unrolled step (bounds VMEM temps)
+
+
+def _maxpool_kernel(x_ref, nxt_ref, o_ref):
+    # x_ref: [1, HB, W, C] — one H-block of the image. nxt_ref is the NEXT
+    # H-block (same array, index map j+1 clamped), supplying the single halo
+    # row the 3x3/2 window needs across the block boundary; for the last
+    # block it aliases the current block and is masked to the SAME padding
+    # value. C is the lane dim, W the sublane dim; H-axis ops are cheap
+    # major-dim moves. The block is processed in chunks of `rh` output rows
+    # so elementwise temporaries stay small (a single whole-image pass
+    # overflowed the 16 MB scoped-VMEM budget at [128,128,64]f32).
+    hb, w, c = x_ref.shape[1:]
+    ohb, ow = hb // 2, w // 2
+    rh = min(_ROWS_PER_CHUNK, ohb)
+    while ohb % rh:
+        rh -= 1
+    neg = jnp.array(_NEG, x_ref.dtype)
+    is_last = pl.program_id(1) == pl.num_programs(1) - 1
+    halo_row = jnp.where(is_last, jnp.full((1, w, c), neg, x_ref.dtype), nxt_ref[0, 0:1])
+
+    for i in range(ohb // rh):
+        r0 = 2 * rh * i
+        xa = x_ref[0, r0 : r0 + 2 * rh]  # input rows r0 .. r0+2rh-1
+        pairs = xa.reshape(rh, 2, w, c)
+        pm = jnp.maximum(pairs[:, 0], pairs[:, 1])  # rows (2i, 2i+1)
+        # rows 2i+2: even rows shifted one step; the final one comes from
+        # the next H-block (or SAME padding on the last block).
+        if r0 + 2 * rh < hb:
+            ev_next = x_ref[0, r0 + 2 : r0 + 2 + 2 * rh].reshape(rh, 2, w, c)[:, 0]
+        else:
+            body = x_ref[0, r0 + 2 : r0 + 2 * rh].reshape(rh - 1, 2, w, c)[:, 0]
+            ev_next = jnp.concatenate([body, halo_row], axis=0)
+        rows = jnp.maximum(pm, ev_next)  # [rh, w, c]
+
+        # cols: out[:, j] = max(rows[:, 2j], rows[:, 2j+1], rows[:, 2j+2])
+        cpairs = rows.reshape(rh, ow, 2, c)
+        cpm = jnp.maximum(cpairs[:, :, 0], cpairs[:, :, 1])
+        cev_next = jnp.concatenate(
+            [cpairs[:, 1:, 0], jnp.full((rh, 1, c), neg, x_ref.dtype)], axis=1
+        )
+        o_ref[0, rh * i : rh * (i + 1)] = jnp.maximum(cpm, cev_next)
+
+
+def _maxpool_fwd_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"even spatial dims required, got {x.shape}"
+    # Pick an H-block so in+halo+out blocks (double-buffered) stay well
+    # under the 16 MB scoped-VMEM budget. Only the leading dims may be
+    # blocked freely (last two must be full or hardware-tile multiples), so
+    # the grid walks H; the halo row at each block boundary comes from a
+    # second view of the same array offset one block (clamped at the end).
+    budget = 6 * 1024 * 1024
+    per_row = w * c * x.dtype.itemsize * 2  # double-buffered
+    hb = h
+    while hb % 2 == 0 and hb > 2 * _ROWS_PER_CHUNK and (2 * hb + hb // 2) * per_row > budget:
+        hb //= 2
+    nblocks = h // hb
+    return pl.pallas_call(
+        _maxpool_kernel,
+        interpret=interpret,
+        grid=(b, nblocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hb, w, c),
+                lambda i, j: (i, jnp.minimum(j + 1, nblocks - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb // 2, w // 2, c), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, w // 2, c), x.dtype),
+    )(x, x)
+
+
+def _maxpool_reference(x: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA shift-and-max with the same (TF SAME) alignment.
+
+    Used as the CPU/interpret fallback and as the differentiable body for
+    the backward pass (elementwise-max gradients are safe on axon, unlike
+    reduce_window's select-and-scatter grad, which emits NaNs there).
+    """
+    b, h, w, c = x.shape
+    oh, ow = h // 2, w // 2
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=_NEG)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = xp[:, dy : dy + h : 2, dx : dx + w : 2, :][:, :oh, :ow]
+            out = s if out is None else jnp.maximum(out, s)
+    return out
+
+
+# Whether the forward pass uses the Pallas kernel on TPU. Default OFF after
+# measurement: standalone the kernel matches the XLA decomposition (~13 ms at
+# [256,128,128,64]bf16 — both bounded by this platform's effective elementwise
+# bandwidth), but inside the full ResNet-50 forward the custom call's operand
+# layout constraint blocks fusion with the stem conv and adds relayout copies
+# (46 ms -> 75 ms end to end). Kept selectable for future platforms where the
+# XLA window lowering is the bottleneck.
+USE_PALLAS_POOL = False
+
+
+@jax.custom_vjp
+def max_pool_3x3_stride2_same(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/2 SAME max pool (TF/XLA SAME alignment), differentiable."""
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        return _maxpool_reference_odd(x)
+    if USE_PALLAS_POOL and jax.default_backend() in ("tpu", "axon"):
+        return _maxpool_fwd_pallas(x)
+    return _maxpool_reference(x)
+
+
+def _fwd(x):
+    return max_pool_3x3_stride2_same(x), x
+
+
+def _bwd(x, g):
+    _, vjp = jax.vjp(_maxpool_reference, x)
+    return vjp(g)
+
+
+max_pool_3x3_stride2_same.defvjp(_fwd, _bwd)
+
+
+def _maxpool_reference_odd(x: jnp.ndarray) -> jnp.ndarray:
+    """SAME pool for any spatial size (XLA pad split: lo = total//2)."""
+    b, h, w, c = x.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    ph, pw = max(2 * oh + 1 - h, 0), max(2 * ow + 1 - w, 0)
+    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+    xp = jnp.pad(x, pads, constant_values=_NEG)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = xp[:, dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2, :][:, :oh, :ow]
+            out = s if out is None else jnp.maximum(out, s)
+    return out

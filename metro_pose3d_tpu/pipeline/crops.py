@@ -178,6 +178,39 @@ def rebase_warp_params(params: dict, offset: np.ndarray, factor: float) -> dict:
     return {"H": params["H"], "K": k, "dist": params["dist"]}
 
 
+def prepare_inference_crop(
+    image: np.ndarray,
+    bbox,
+    camera: Camera,
+    proc_side: int,
+    tile_side: int,
+    box_expansion: float = 1.0,
+) -> dict:
+    """Host prep for one GT-free detector box (multi-person inference path).
+
+    Like `prepare_example(aug=None)` minus ground truth: emits the source
+    tile, warp parameters, crop intrinsics, and `rot_to_orig` — the rotation
+    `R_src @ R_crop^T` that maps camera-frame points of the virtual crop
+    camera back to the ORIGINAL camera frame (both share the optical center,
+    so absolute poses transform by pure rotation).
+    """
+    crop_cam = make_crop_camera(camera, bbox, proc_side, box_expansion)
+    tile, offset, factor = extract_source_tile(
+        image, crop_cam, camera, proc_side, tile_side
+    )
+    params = rebase_warp_params(get_warp_params(camera, crop_cam), offset, factor)
+    rot_to_orig = camera.R @ crop_cam.R.T
+    return {
+        "source": tile,
+        "warp_h": params["H"].astype(np.float32),
+        "warp_k": params["K"].astype(np.float32),
+        "warp_dist": params["dist"].astype(np.float32),
+        "intrinsics": crop_cam.K.astype(np.float32),
+        "rot_to_orig": rot_to_orig.astype(np.float32),
+        "_crop_cam": crop_cam,  # host-only (popped before device transfer)
+    }
+
+
 def prepare_example(
     example: Example,
     joint_info: JointInfo,

@@ -1,0 +1,84 @@
+"""Stem max-pool: Pallas kernel vs XLA reference vs lax.reduce_window SAME.
+
+The pool must match TF/XLA "SAME" alignment exactly (window at 2i..2i+2),
+because the reference's slim backbone uses `max_pool2d(..., 'SAME')` and
+ImageNet weight conversion requires bit-parity of the stem
+(SURVEY.md §8 hard part 1).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from metro_pose3d_tpu.ops.pool_pallas import (
+    _maxpool_fwd_pallas,
+    _maxpool_reference,
+    _maxpool_reference_odd,
+    max_pool_3x3_stride2_same,
+)
+
+
+def _rw_same(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+
+
+class TestAlignment:
+    def test_reference_matches_reduce_window_even(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 12, 5))
+        np.testing.assert_array_equal(
+            np.asarray(_maxpool_reference(x)), np.asarray(_rw_same(x))
+        )
+
+    def test_reference_matches_reduce_window_odd(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 15, 13, 4))
+        np.testing.assert_array_equal(
+            np.asarray(_maxpool_reference_odd(x)), np.asarray(_rw_same(x))
+        )
+
+    def test_public_op_dispatch(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 3))
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_3x3_stride2_same(x)), np.asarray(_rw_same(x))
+        )
+
+
+class TestPallasKernel:
+    def test_interpret_matches_reference(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (3, 32, 32, 64), jnp.float32)
+        out = _maxpool_fwd_pallas(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(_rw_same(x)))
+
+    def test_interpret_bfloat16(self):
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 8)).astype(
+            jnp.bfloat16
+        )
+        out = _maxpool_fwd_pallas(x, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)),
+            np.asarray(_rw_same(x.astype(jnp.float32))),
+        )
+
+
+class TestGradient:
+    def test_grad_finite_and_correct(self):
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
+
+        def f(x):
+            return jnp.sum(max_pool_3x3_stride2_same(x) ** 2)
+
+        g = jax.grad(f)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # gradient of max routes to the argmax input element: sum of grads
+        # equals sum of 2*out over windows (each output's grad lands once)
+        out = _rw_same(x)
+        np.testing.assert_allclose(
+            float(jnp.sum(g * x_argmax_mask_free_check(x, g))),
+            float(jnp.sum(2 * out**2)),
+            rtol=1e-5,
+        )
+
+
+def x_argmax_mask_free_check(x, g):
+    # helper: g is nonzero only at window-max positions; g = sum over windows
+    # of 2*out at the max position, so g*x accumulates 2*out*max = 2*out^2.
+    return x
