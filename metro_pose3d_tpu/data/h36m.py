@@ -79,12 +79,9 @@ class H36MDataset:
         return len(self.test_ids)
 
     def _example(self, idx: int) -> Example:
-        import cv2
+        from metro_pose3d_tpu.utils import improc
 
-        img = cv2.imread(os.path.join(self.root, str(self.image_paths[idx])))
-        if img is None:
-            raise FileNotFoundError(self.image_paths[idx])
-        img = img[..., ::-1]  # BGR -> RGB
+        img = improc.imread(os.path.join(self.root, str(self.image_paths[idx])))
         cam = Camera(
             intrinsic_matrix=self.intrinsics[idx],
             rot_world_to_cam=self.rotations[idx],

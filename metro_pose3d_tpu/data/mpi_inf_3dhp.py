@@ -65,10 +65,9 @@ class Mpi3dhpDataset:
     def _example(self, ann, idx: int) -> Example:
         import cv2
 
-        img = cv2.imread(os.path.join(self.root, str(ann["image_paths"][idx])))
-        if img is None:
-            raise FileNotFoundError(ann["image_paths"][idx])
-        img = img[..., ::-1]
+        from metro_pose3d_tpu.utils import improc
+
+        img = improc.imread(os.path.join(self.root, str(ann["image_paths"][idx])))
         cam = Camera(
             intrinsic_matrix=ann["intrinsics"][idx],
             rot_world_to_cam=ann["rotations"][idx],

@@ -48,12 +48,9 @@ class MpiiDataset:
     n_test = 0
 
     def train_example(self, i: int) -> Example:
-        import cv2
+        from metro_pose3d_tpu.utils import improc
 
-        img = cv2.imread(os.path.join(self.root, str(self.image_paths[i])))
-        if img is None:
-            raise FileNotFoundError(self.image_paths[i])
-        img = img[..., ::-1]
+        img = improc.imread(os.path.join(self.root, str(self.image_paths[i])))
         cam = Camera.from_fov(self.fov, img.shape)
         return Example(
             image=np.ascontiguousarray(img),

@@ -111,19 +111,17 @@ class Tdpw3Dataset:
         return len(self._persons["test"])
 
     def _person_example(self, split: str, i: int) -> Example:
-        import cv2
+        from metro_pose3d_tpu.utils import improc
 
         frame_idx, k = self._persons[split][i]
         rec = self._frames[split][frame_idx]
-        img = cv2.imread(rec["image"])
-        if img is None:
-            raise FileNotFoundError(rec["image"])
+        img = improc.imread(rec["image"])
         cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"])
         world = rec["world"][k]
         px = cam.world_to_image(world)
         bbox = boxlib.expand(boxlib.bb_of_points(px), 1.15)
         return Example(
-            image=np.ascontiguousarray(img[..., ::-1]),
+            image=img,
             bbox=bbox,
             camera=cam,
             world_coords=world,
@@ -142,12 +140,10 @@ class Tdpw3Dataset:
 
     def test_frame(self, i: int):
         """-> (image RGB uint8, boxes [P,4], Camera, world [P,24,3] mm, seq)."""
-        import cv2
+        from metro_pose3d_tpu.utils import improc
 
         rec = self._frames["test"][i]
-        img = cv2.imread(rec["image"])
-        if img is None:
-            raise FileNotFoundError(rec["image"])
+        img = improc.imread(rec["image"])
         cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"])
         boxes = np.stack(
             [
@@ -155,4 +151,4 @@ class Tdpw3Dataset:
                 for w in rec["world"]
             ]
         )
-        return np.ascontiguousarray(img[..., ::-1]), boxes, cam, rec["world"], rec["seq"]
+        return img, boxes, cam, rec["world"], rec["seq"]

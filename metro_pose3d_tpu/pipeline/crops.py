@@ -18,13 +18,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import cv2
 import numpy as np
 
 from metro_pose3d_tpu.config import AugConfig
 from metro_pose3d_tpu.geom import boxes as boxlib
 from metro_pose3d_tpu.geom.camera import Camera, get_warp_params, reproject_image_points
 from metro_pose3d_tpu.geom.joints import JointInfo
+from metro_pose3d_tpu.utils import improc
 
 
 @dataclasses.dataclass
@@ -153,18 +153,12 @@ def extract_source_tile(image: np.ndarray, crop_cam: Camera, src_cam: Camera,
     roi_w, roi_h = np.maximum(hi - lo, 1)
 
     factor = max(1, int(np.ceil(max(roi_w, roi_h) / tile_side)))
-    tile = np.zeros((tile_side, tile_side, 3), np.uint8)
     x0, y0 = int(lo[0]), int(lo[1])
     x1, y1 = int(hi[0]), int(hi[1])
-    roi = image[y0:y1, x0:x1]
-    if roi.size:
-        if factor > 1:
-            roi = cv2.resize(
-                roi,
-                (max(1, roi.shape[1] // factor), max(1, roi.shape[0] // factor)),
-                interpolation=cv2.INTER_AREA,
-            )
-        tile[: roi.shape[0], : roi.shape[1]] = roi
+    # ROI slice + integer-factor area decimation + zero pad, in the native C
+    # runtime when built (utils/improc; box-mean == cv2 INTER_AREA for
+    # integer factors), numpy otherwise.
+    tile = improc.extract_tile_native(image, x0, y0, x1, y1, factor, tile_side)
     return tile, np.array([x0, y0], np.float64), float(factor)
 
 

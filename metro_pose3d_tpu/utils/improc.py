@@ -1,0 +1,141 @@
+"""Host image processing: fast JPEG read, area resize, alpha paste.
+
+Responsibility-parity with the reference's `src/improc.py` (SURVEY.md §3
+"Image proc": libjpeg-turbo JPEG read via jpeg4py, `resize_by_factor` with
+area interpolation, `paste_over` alpha compositing). Decode goes through the
+native C extension (`native/jpegdec.c`, threaded libjpeg) when it builds,
+with a transparent cv2 fallback; everything returns RGB uint8 numpy arrays.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from metro_pose3d_tpu import native as _native_loader
+
+_native = None
+_native_tried = False
+
+
+def _get_native():
+    global _native, _native_tried
+    if not _native_tried:
+        _native = _native_loader.load()
+        _native_tried = True
+    return _native
+
+
+def have_native() -> bool:
+    return _get_native() is not None
+
+
+def decode_jpeg_bytes(data: bytes) -> np.ndarray:
+    """JPEG bytes -> RGB uint8 [H, W, 3]."""
+    nat = _get_native()
+    if nat is not None:
+        try:
+            buf, h, w = nat.decode_jpeg(data)
+            return np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+        except ValueError:
+            pass  # corrupt per libjpeg; let cv2 try (it is more lenient)
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("could not decode image")
+    return np.ascontiguousarray(img[..., ::-1])
+
+
+def decode_jpeg_batch(items, threads: int = 4):
+    """list[bytes] -> list[RGB uint8 array]; threaded native decode."""
+    nat = _get_native()
+    if nat is not None:
+        out = nat.decode_jpeg_batch(list(items), int(threads))
+        decoded = []
+        for data, res in zip(items, out):
+            if res is None:
+                decoded.append(decode_jpeg_bytes(data))  # cv2 rescue
+            else:
+                buf, h, w = res
+                decoded.append(np.frombuffer(buf, np.uint8).reshape(h, w, 3))
+        return decoded
+    return [decode_jpeg_bytes(d) for d in items]
+
+
+def imread(path: str) -> np.ndarray:
+    """Image file -> RGB uint8 (JPEG through the native path)."""
+    if str(path).lower().endswith((".jpg", ".jpeg")):
+        with open(path, "rb") as f:
+            return decode_jpeg_bytes(f.read())
+    import cv2
+
+    img = cv2.imread(str(path))
+    if img is None:
+        raise FileNotFoundError(path)
+    return np.ascontiguousarray(img[..., ::-1])
+
+
+def extract_tile_native(img: np.ndarray, x0, y0, x1, y1, factor, tile_side):
+    """ROI slice + integer-area decimation + zero pad -> [T, T, 3] uint8.
+
+    Native when available; numpy fallback is exact for factor==1 and
+    averages full factor x factor blocks otherwise (same as the C path).
+    """
+    nat = _get_native()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    if nat is not None:
+        buf = nat.extract_tile(img.tobytes(), h, w, int(x0), int(y0),
+                               int(x1), int(y1), int(factor), int(tile_side))
+        return np.frombuffer(buf, np.uint8).reshape(tile_side, tile_side, 3).copy()
+    tile = np.zeros((tile_side, tile_side, 3), np.uint8)
+    roi = img[y0:y1, x0:x1]
+    if roi.size:
+        if factor > 1:
+            oh, ow = roi.shape[0] // factor, roi.shape[1] // factor
+            oh, ow = max(oh, 1), max(ow, 1)
+            r = roi[: oh * factor, : ow * factor].reshape(
+                oh, factor, ow, factor, 3
+            )
+            roi = ((r.sum((1, 3), dtype=np.uint32) + factor * factor // 2)
+                   // (factor * factor)).astype(np.uint8)
+        roi = roi[:tile_side, :tile_side]
+        tile[: roi.shape[0], : roi.shape[1]] = roi
+    return tile
+
+
+def resize_by_factor(img: np.ndarray, factor: float) -> np.ndarray:
+    """Anti-aliased resize by a scale factor (area for shrink, linear for
+    grow) — the reference's `improc.resize_by_factor` contract."""
+    import cv2
+
+    new_size = (
+        max(1, int(round(img.shape[1] * factor))),
+        max(1, int(round(img.shape[0] * factor))),
+    )
+    interp = cv2.INTER_AREA if factor < 1.0 else cv2.INTER_LINEAR
+    return cv2.resize(img, new_size, interpolation=interp)
+
+
+def paste_over(im_src: np.ndarray, im_dst: np.ndarray, center_xy) -> np.ndarray:
+    """Alpha-composite RGBA `im_src` over RGB `im_dst` centered at center_xy
+    (the reference's occluder-pasting primitive; the on-device equivalent is
+    ops/occlusion.py — this host version serves dataset tooling/demos)."""
+    h_s, w_s = im_src.shape[:2]
+    h_d, w_d = im_dst.shape[:2]
+    cx, cy = center_xy
+    x0 = int(round(cx - w_s / 2))
+    y0 = int(round(cy - h_s / 2))
+    x1, y1 = x0 + w_s, y0 + h_s
+    dx0, dy0 = max(x0, 0), max(y0, 0)
+    dx1, dy1 = min(x1, w_d), min(y1, h_d)
+    if dx0 >= dx1 or dy0 >= dy1:
+        return im_dst
+    sx0, sy0 = dx0 - x0, dy0 - y0
+    sx1, sy1 = sx0 + (dx1 - dx0), sy0 + (dy1 - dy0)
+    src = im_src[sy0:sy1, sx0:sx1]
+    out = im_dst.copy()
+    region = out[dy0:dy1, dx0:dx1].astype(np.float32)
+    alpha = src[..., 3:4].astype(np.float32) / 255.0
+    rgb = src[..., :3].astype(np.float32)
+    out[dy0:dy1, dx0:dx1] = (alpha * rgb + (1 - alpha) * region).astype(np.uint8)
+    return out

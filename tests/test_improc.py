@@ -1,0 +1,109 @@
+"""Host image runtime: native C extension vs cv2/numpy references.
+
+The native module (native/jpegdec.c) is the rebuild's equivalent of the
+reference's libjpeg-turbo + OpenCV host path; these tests pin decode parity
+(same libjpeg -> bit-identical), threaded batch behavior, error paths, and
+tile-extraction equivalence with the pure-numpy fallback.
+"""
+import numpy as np
+import pytest
+
+from metro_pose3d_tpu.utils import improc
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def jpeg_bytes():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 92])
+    assert ok
+    return enc.tobytes()
+
+
+class TestDecode:
+    def test_matches_cv2(self, jpeg_bytes):
+        a = improc.decode_jpeg_bytes(jpeg_bytes)
+        b = cv2.imdecode(np.frombuffer(jpeg_bytes, np.uint8), cv2.IMREAD_COLOR)[..., ::-1]
+        assert a.shape == b.shape == (240, 320, 3)
+        if improc.have_native():
+            # same libjpeg underneath -> bit-identical
+            np.testing.assert_array_equal(a, b)
+
+    def test_batch(self, jpeg_bytes):
+        outs = improc.decode_jpeg_batch([jpeg_bytes] * 9, threads=3)
+        assert len(outs) == 9
+        for o in outs:
+            np.testing.assert_array_equal(o, outs[0])
+
+    def test_corrupt_raises(self):
+        with pytest.raises(ValueError):
+            improc.decode_jpeg_bytes(b"definitely not a jpeg")
+
+    def test_empty_batch(self):
+        assert improc.decode_jpeg_batch([]) == []
+
+    def test_imread_roundtrip(self, tmp_path, jpeg_bytes):
+        p = tmp_path / "x.jpg"
+        p.write_bytes(jpeg_bytes)
+        img = improc.imread(str(p))
+        assert img.shape == (240, 320, 3)
+        with pytest.raises((FileNotFoundError, ValueError)):
+            improc.imread(str(tmp_path / "missing.jpg"))
+
+
+class TestExtractTile:
+    @pytest.mark.parametrize("factor", [1, 2, 3])
+    def test_native_matches_numpy(self, factor):
+        if not improc.have_native():
+            pytest.skip("native module unavailable")
+        rng = np.random.default_rng(factor)
+        img = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+        args = (img, 11, 23, 290, 190, factor, 96)
+        nat = improc.extract_tile_native(*args)
+        saved = improc._native
+        improc._native = None
+        try:
+            ref = improc.extract_tile_native(*args)
+        finally:
+            improc._native = saved
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_zero_pad_and_bounds(self):
+        img = np.full((50, 60, 3), 200, np.uint8)
+        tile = improc.extract_tile_native(img, 0, 0, 60, 50, 1, 128)
+        assert tile.shape == (128, 128, 3)
+        assert np.all(tile[:50, :60] == 200)
+        assert np.all(tile[50:] == 0) and np.all(tile[:, 60:] == 0)
+
+
+class TestPasteOver:
+    def test_alpha_composite_and_clipping(self):
+        dst = np.zeros((40, 40, 3), np.uint8)
+        src = np.zeros((10, 10, 4), np.uint8)
+        src[..., 0] = 255  # red
+        src[..., 3] = 255  # opaque
+        out = improc.paste_over(src, dst, (5, 5))  # partially off-canvas OK
+        assert out[5, 5, 0] == 255 and out[5, 5, 1] == 0
+        assert np.all(dst == 0)  # original untouched
+        out2 = improc.paste_over(src, dst, (-100, -100))  # fully off-canvas
+        np.testing.assert_array_equal(out2, dst)
+
+    def test_half_alpha(self):
+        dst = np.full((20, 20, 3), 100, np.uint8)
+        src = np.zeros((4, 4, 4), np.uint8)
+        src[..., 2] = 200
+        src[..., 3] = 128
+        out = improc.paste_over(src, dst, (10, 10))
+        px = out[10, 10]
+        assert 140 <= px[2] <= 160 and 45 <= px[0] <= 55
+
+
+class TestResize:
+    def test_shrink_and_grow(self):
+        img = np.zeros((64, 48, 3), np.uint8)
+        small = improc.resize_by_factor(img, 0.5)
+        assert small.shape == (32, 24, 3)
+        big = improc.resize_by_factor(img, 2.0)
+        assert big.shape == (128, 96, 3)
