@@ -36,6 +36,7 @@ CHEST_HEIGHT_CAMERAS = (0, 1, 2, 4, 5, 6, 7, 8)
 class Mpi3dhpDataset:
     joint_info = MPI3DHP_17
     root_joint = "pelv"
+    has_masks = True  # green-screen FGmasks -> background replacement aug
 
     def __init__(self, data_root: str):
         self.root = os.path.join(data_root, "3dhp")

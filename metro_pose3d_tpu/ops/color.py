@@ -55,6 +55,27 @@ def color_jitter(images, brightness, contrast, saturation, hue):
     return jnp.clip(x, 0.0, 1.0)
 
 
+def composite_background(sources_u8, masks_u8, bg_bank_u8, bg_params):
+    """Green-screen background replacement in SOURCE TILE space.
+
+    sources_u8: [B, T, T, 3] uint8 tiles; masks_u8: [B, T, T] uint8 (255 =
+    foreground, 3DHP FGmasks warped to tile coords by the host ROI slice);
+    bg_bank_u8: [N, T, T, 3] uint8 HBM-resident bank; bg_params: [B, 2]
+    (enabled flag, bank index). One fused lerp BEFORE the crop warp — the
+    warp then sees the composited scene, so background replacement costs no
+    second homography gather (reference composites the full frame on host:
+    `augmentation/background.py`).
+    """
+    enabled = bg_params[:, 0][:, None, None, None]
+    idx = bg_params[:, 1].astype(jnp.int32)
+    bg = jnp.take(bg_bank_u8, idx, axis=0).astype(jnp.float32)
+    src = sources_u8.astype(jnp.float32)
+    alpha = (masks_u8.astype(jnp.float32) / 255.0)[..., None]
+    out = src * alpha + bg * (1.0 - alpha)
+    out = src + enabled * (out - src)
+    return out.astype(jnp.uint8)
+
+
 def normalize(images01):
     """[0,1] float images -> model input range [-1, 1]."""
     return images01 * (255.0 * C.IMAGE_SCALE) + C.IMAGE_OFFSET

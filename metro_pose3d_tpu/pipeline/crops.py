@@ -55,9 +55,14 @@ class AugParams:
     occlude: bool
     occluder_index: int
     occluder_affine: np.ndarray  # (2, 3) crop px -> tile px
+    bg_enabled: bool = False  # 3DHP green-screen background replacement
+    bg_index: int = 0
 
 
-def sample_aug_params(rng: np.random.Generator, aug: AugConfig, n_occluders: int) -> AugParams:
+def sample_aug_params(
+    rng: np.random.Generator, aug: AugConfig, n_occluders: int,
+    n_backgrounds: int = 0,
+) -> AugParams:
     do_color = rng.random() < aug.color_prob
     # occluder placement: cover a random sub-square of the crop
     occ_scale = rng.uniform(0.2, 0.7)
@@ -81,6 +86,8 @@ def sample_aug_params(rng: np.random.Generator, aug: AugConfig, n_occluders: int
         occlude=bool(rng.random() < aug.occlude_prob),
         occluder_index=int(rng.integers(max(n_occluders, 1))),
         occluder_affine=affine,
+        bg_enabled=bool(n_backgrounds > 0 and rng.random() < aug.background_prob),
+        bg_index=int(rng.integers(max(n_backgrounds, 1))),
         # note: occ_center folded into the affine translation below
     ), occ_center
 
@@ -131,14 +138,16 @@ def make_crop_camera(
 
 
 def extract_source_tile(image: np.ndarray, crop_cam: Camera, src_cam: Camera,
-                        proc_side: int, tile_side: int):
+                        proc_side: int, tile_side: int, roi_out: list | None = None):
     """Slice (and if needed, area-decimate) the source region feeding a crop.
 
     Returns (tile uint8 [T,T,3], offset (2,), factor float): full-image pixel
-    p maps to tile pixel (p - offset) / factor. Decimation uses cv2
-    INTER_AREA only when the needed region exceeds the tile (anti-aliased
-    downsampling, matching the reference's area-resize behavior); the common
-    case is a pure memcpy slice.
+    p maps to tile pixel (p - offset) / factor. Decimation uses integer-
+    factor box averaging only when the needed region exceeds the tile
+    (anti-aliased downsampling, matching the reference's area-resize
+    behavior); the common case is a pure memcpy slice. When `roi_out` is
+    given, the chosen ROI (x0, y0, x1, y1) is appended (e.g. to extract the
+    matching foreground-mask tile).
     """
     h, w = image.shape[:2]
     grid = np.array(
@@ -158,6 +167,8 @@ def extract_source_tile(image: np.ndarray, crop_cam: Camera, src_cam: Camera,
     # ROI slice + integer-factor area decimation + zero pad, in the native C
     # runtime when built (utils/improc; box-mean == cv2 INTER_AREA for
     # integer factors), numpy otherwise.
+    if roi_out is not None:
+        roi_out.append((x0, y0, x1, y1))
     tile = improc.extract_tile_native(image, x0, y0, x1, y1, factor, tile_side)
     return tile, np.array([x0, y0], np.float64), float(factor)
 
@@ -213,6 +224,7 @@ def prepare_example(
     aug: AugParams | None = None,
     occ_center=(0.5, 0.5),
     box_expansion: float = 1.0,
+    with_background: bool = False,
 ) -> dict:
     """Full host-side preparation of one example -> dict of small arrays.
 
@@ -228,8 +240,10 @@ def prepare_example(
         crop_cam = make_crop_camera(example.camera, example.bbox, proc_side, box_expansion)
         flip = False
 
+    roi_out: list = []
     tile, offset, factor = extract_source_tile(
-        example.image, crop_cam, example.camera, proc_side, tile_side
+        example.image, crop_cam, example.camera, proc_side, tile_side,
+        roi_out=roi_out,
     )
     params = rebase_warp_params(
         get_warp_params(example.camera, crop_cam), offset, factor
@@ -285,7 +299,7 @@ def prepare_example(
         color = np.array([0.0, 1.0, 1.0, 0.0], np.float32)
         occ = np.array([0.0, 0.0], np.float32)
 
-    return {
+    out = {
         "source": tile,
         "warp_h": params["H"].astype(np.float32),
         "warp_k": params["K"].astype(np.float32),
@@ -300,3 +314,22 @@ def prepare_example(
         "occ_params": occ,
         "occ_affine": occ_aff.astype(np.float32),
     }
+    if with_background:
+        # foreground mask in TILE space for green-screen bg replacement
+        # (3DHP FGmasks); all-foreground when the example carries no mask,
+        # which makes the device composite an exact no-op.
+        if example.mask is not None and aug is not None and aug.bg_enabled:
+            m3 = np.repeat(
+                (example.mask.astype(np.uint8) * 255)[..., None], 3, axis=2
+            )
+            x0, y0, x1, y1 = roi_out[0]
+            mask_tile = improc.extract_tile_native(
+                m3, x0, y0, x1, y1, int(factor), tile_side
+            )[..., 0]
+            bg = np.array([1.0, float(aug.bg_index)], np.float32)
+        else:
+            mask_tile = np.full((tile_side, tile_side), 255, np.uint8)
+            bg = np.array([0.0, 0.0], np.float32)
+        out["source_mask"] = mask_tile
+        out["bg_params"] = bg
+    return out

@@ -10,13 +10,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from metro_pose3d_tpu.ops.color import color_jitter, normalize
+from metro_pose3d_tpu.ops.color import color_jitter, composite_background, normalize
 from metro_pose3d_tpu.ops.occlusion import occlude_with_tiles
 from metro_pose3d_tpu.ops.warp import warp_images
 
 
 def example_spec(joint_count: int, tile_side: int, proc_side: int):
-    """Shape/dtype spec of one prepared example (host -> device contract)."""
+    """Shape/dtype spec of one prepared example (host -> device contract).
+
+    Optional keys (present when background replacement is active, i.e. the
+    loader was built with a background bank): "source_mask" (tile_side,
+    tile_side) uint8 and "bg_params" (2,) float32.
+    """
     j = joint_count
     return {
         "source": ((tile_side, tile_side, 3), np.uint8),
@@ -38,14 +43,22 @@ def example_spec(joint_count: int, tile_side: int, proc_side: int):
 EXAMPLE_SPEC = example_spec  # alias (imported by pipeline/__init__)
 
 
-def device_augment(batch: dict, proc_side: int, occluder_bank=None, train: bool = True):
+def device_augment(batch: dict, proc_side: int, occluder_bank=None,
+                   train: bool = True, background_bank=None):
     """[B,T,T,3] uint8 tiles + params -> [B,S,S,3] normalized float crops.
 
     `occluder_bank`: [N, T2, T2, 4] float32 RGBA in [0,1] (device-resident);
     per-example indices select tiles with a gather so the graph stays static.
+    `background_bank`: [N, T, T, 3] uint8 (device-resident) for 3DHP
+    green-screen replacement; used when the batch carries "source_mask".
     """
+    source = batch["source"]
+    if train and background_bank is not None and "source_mask" in batch:
+        source = composite_background(
+            source, batch["source_mask"], background_bank, batch["bg_params"]
+        )
     crops = warp_images(
-        batch["source"], batch["warp_h"], batch["warp_k"], batch["warp_dist"], proc_side
+        source, batch["warp_h"], batch["warp_k"], batch["warp_dist"], proc_side
     )
     crops = crops * (1.0 / 255.0)
 

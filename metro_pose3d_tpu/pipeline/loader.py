@@ -40,18 +40,23 @@ def prepare_one(
     rng_key: tuple,
     n_occluders: int,
     box_expansion: float = 1.0,
+    n_backgrounds: int = 0,
 ) -> dict:
-    """Deterministic single-example prep (aug_cfg=None -> test-time path)."""
+    """Deterministic single-example prep (aug_cfg=None -> test-time path).
+
+    `n_backgrounds` > 0 activates green-screen background replacement: the
+    prepared dict gains "source_mask"/"bg_params" (all batches of a loader
+    must agree, so this is a loader-level switch, not per-example)."""
     if aug_cfg is None:
         return prepare_example(
             example, joint_info, proc_side, tile_side, aug=None,
-            box_expansion=box_expansion,
+            box_expansion=box_expansion, with_background=n_backgrounds > 0,
         )
     rng = np.random.default_rng(rng_key)
-    aug, occ_center = sample_aug_params(rng, aug_cfg, n_occluders)
+    aug, occ_center = sample_aug_params(rng, aug_cfg, n_occluders, n_backgrounds)
     return prepare_example(
         example, joint_info, proc_side, tile_side, aug=aug, occ_center=occ_center,
-        box_expansion=box_expansion,
+        box_expansion=box_expansion, with_background=n_backgrounds > 0,
     )
 
 
@@ -71,6 +76,7 @@ def batch_iterator(
     drop_remainder: bool = True,
     max_epochs: Optional[int] = None,
     box_expansion: float = 1.0,
+    n_backgrounds: int = 0,
 ) -> Iterator[dict]:
     """Stream batched host-prepared examples, epoch after epoch.
 
@@ -93,7 +99,7 @@ def batch_iterator(
                 ex = get_example(int(i))
                 return prepare_one(
                     ex, joint_info, proc_side, tile_side, aug_cfg,
-                    (seed, epoch, int(i)), 64, box_expansion,
+                    (seed, epoch, int(i)), 64, box_expansion, n_backgrounds,
                 )
 
             for start in range(0, len(local), batch_size):

@@ -48,13 +48,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
-                    root_index: int = 0, mesh=None, occluder_bank=None):
+                    root_index: int = 0, mesh=None, occluder_bank=None,
+                    background_bank=None):
     """Build the jitted train step. With `mesh`, inputs/outputs get explicit
-    shardings (state replicated, batch split on `data`) and donation."""
+    shardings (state replicated, batch split on `data`) and donation.
+    `background_bank` ([N,T,T,3] uint8, replicated) enables the 3DHP
+    green-screen replacement for batches carrying "source_mask"."""
     model = MetroModel(cfg.model)
+    bg_bank = (
+        jnp.asarray(background_bank) if background_bank is not None else None
+    )
 
     def step(state: TrainState, batch: dict, occ_bank) -> tuple[TrainState, dict]:
-        crops = device_augment(batch, cfg.model.proc_side, occ_bank, train=True)
+        crops = device_augment(
+            batch, cfg.model.proc_side, occ_bank, train=True,
+            background_bank=bg_bank,
+        )
 
         def loss_fn(params):
             (l3d, l2d), updated = model.apply(

@@ -31,15 +31,18 @@ from metro_pose3d_tpu.train.state import create_train_state
 log = logging.getLogger("metro_tpu.train")
 
 
-def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None):
+def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0):
     """Yield host batches: `batch_size` 3D rows (+`batch_size_2d` remapped 2D
-    rows when an auxiliary 2D dataset is configured)."""
+    rows when an auxiliary 2D dataset is configured). `n_backgrounds` > 0
+    adds green-screen mask/params rows to EVERY batch (both sub-iterators
+    must agree on keys; maskless examples get a no-op all-foreground mask)."""
     ji = dataset.joint_info
     it3d = batch_iterator(
         dataset.train_example, dataset.n_train, ji, cfg.train.batch_size,
         cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
         seed=cfg.train.seed, n_workers=cfg.data.workers,
         host_id=jax.process_index(), host_count=jax.process_count(),
+        n_backgrounds=n_backgrounds,
     )
     if dataset2d is None or cfg.train.batch_size_2d == 0:
         yield from it3d
@@ -56,6 +59,7 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None):
             cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
             seed=cfg.train.seed + 1, n_workers=cfg.data.workers,
             host_id=jax.process_index(), host_count=jax.process_count(),
+            n_backgrounds=n_backgrounds,
         )
         yield from it
 
@@ -84,7 +88,8 @@ def validate(cfg: Config, variables, dataset, mesh, n_batches=4):
 
 
 def train(cfg: Config, dataset, dataset2d=None, mesh=None,
-          max_steps: Optional[int] = None, occluder_root: Optional[str] = None):
+          max_steps: Optional[int] = None, occluder_root: Optional[str] = None,
+          background_root: Optional[str] = None):
     """Run training to `num_steps` (or `max_steps`); returns final state."""
     os.makedirs(cfg.train.logdir, exist_ok=True)
     with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
@@ -105,11 +110,23 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     bank = jax.device_put(
         jnp.asarray(get_occluder_bank(occluder_root, tile_side=96), jnp.float32), repl
     )
+    # 3DHP green-screen background replacement: active when the dataset
+    # carries foreground masks and the config asks for it
+    bg_bank = None
+    if cfg.aug.background_prob > 0 and getattr(dataset, "has_masks", False):
+        from metro_pose3d_tpu.pipeline.backgrounds import get_background_bank
+
+        bg_bank = get_background_bank(background_root, side=cfg.data.source_side)
+        log.info("background replacement on: bank of %d tiles", len(bg_bank))
     root = dataset.joint_info.names.index(dataset.root_joint)
-    step_fn = make_train_step(cfg, tx, root_index=root, mesh=mesh)
+    step_fn = make_train_step(cfg, tx, root_index=root, mesh=mesh,
+                              background_bank=bg_bank)
 
     total = min(cfg.train.num_steps, max_steps or cfg.train.num_steps)
-    it = mixed_batch_iterator(cfg, dataset, dataset2d)
+    it = mixed_batch_iterator(
+        cfg, dataset, dataset2d,
+        n_backgrounds=len(bg_bank) if bg_bank is not None else 0,
+    )
     t_last = time.perf_counter()
     n_since = 0
     history = []
