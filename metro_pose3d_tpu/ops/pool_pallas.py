@@ -1,17 +1,20 @@
-"""Pallas TPU kernel: 3x3 stride-2 SAME max pool (the ResNet stem pool).
+"""3x3 stride-2 SAME max pool (the ResNet stem pool): XLA fwd, safe bwd,
+optional Pallas kernel.
 
-Why a kernel: on the axon TPU platform both `lax.reduce_window` and a
-shift-and-max decomposition of this pool run ~50x off HBM speed-of-light
-(~11-13 ms for [256,128,128,64] bf16 where the memory traffic bounds it at
-~0.25 ms) — XLA lowers the strided-window access pattern poorly. The pool is
-pure VPU work with static shapes, so a Pallas kernel with one image per grid
-step recovers the bandwidth-bound cost. Semantics match XLA/TF "SAME"
-(window at rows/cols 2i..2i+2, pad high only), which is what the reference's
-slim `max_pool2d(..., padding='SAME')` computes — required for ImageNet
-weight-conversion parity (SURVEY.md §8 hard part 1).
+Semantics match XLA/TF "SAME" (window at rows/cols 2i..2i+2, pad high
+only), which is what the reference's slim `max_pool2d(..., 'SAME')`
+computes — required for ImageNet weight-conversion parity (SURVEY.md §8
+hard part 1).
 
-Forward only; the backward pass (training) uses the shift-and-max
-decomposition in `models/resnet.py`, wired together via `jax.custom_vjp`.
+The split forward/backward design is axon-specific: `lax.reduce_window` has
+the fastest forward (its strided-window read fuses with the stem conv), but
+its select-and-scatter GRADIENT emits NaNs on this platform (jax 0.9.0 /
+v5e; minimal repro: grad of sum(reduce_window_max(conv(x))**2)), so
+`custom_vjp` routes the backward through a shift-and-max decomposition
+whose elementwise-max gradient is safe. A Pallas kernel (H-blocked, halo
+via a clamped second input view) is kept selectable but measured slower
+in-graph: the custom call's operand layout constraint blocks fusion with
+the surrounding convs.
 """
 from __future__ import annotations
 
@@ -19,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -123,24 +127,32 @@ def _maxpool_reference(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-# Whether the forward pass uses the Pallas kernel on TPU. Default OFF after
-# measurement: standalone the kernel matches the XLA decomposition (~13 ms at
-# [256,128,128,64]bf16 — both bounded by this platform's effective elementwise
-# bandwidth), but inside the full ResNet-50 forward the custom call's operand
-# layout constraint blocks fusion with the stem conv and adds relayout copies
-# (46 ms -> 75 ms end to end). Kept selectable for future platforms where the
-# XLA window lowering is the bottleneck.
+# Forward-pass implementation choice, measured on the axon v5e inside the
+# full ResNet-50 forward at [256,128,128,64]bf16:
+#   lax.reduce_window   39.5 ms end-to-end  <- default (fuses best in-graph)
+#   shift-and-max       46.2 ms
+#   Pallas kernel       75 ms (custom-call operand layout blocks fusion with
+#                       the stem conv; kept selectable for other platforms)
+# The backward pass NEVER uses reduce_window: its select-and-scatter gradient
+# emits NaNs on axon (jax 0.9.0/v5e), so custom_vjp routes grads through the
+# shift-and-max decomposition whose elementwise-max gradient is safe.
 USE_PALLAS_POOL = False
 
 
 @jax.custom_vjp
 def max_pool_3x3_stride2_same(x: jnp.ndarray) -> jnp.ndarray:
     """3x3/2 SAME max pool (TF/XLA SAME alignment), differentiable."""
-    if x.shape[1] % 2 or x.shape[2] % 2:
-        return _maxpool_reference_odd(x)
-    if USE_PALLAS_POOL and jax.default_backend() in ("tpu", "axon"):
+    if USE_PALLAS_POOL and jax.default_backend() in ("tpu", "axon") and not (
+        x.shape[1] % 2 or x.shape[2] % 2
+    ):
         return _maxpool_fwd_pallas(x)
-    return _maxpool_reference(x)
+    return lax.reduce_window(
+        x, _neg_inf(x.dtype), lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+    )
+
+
+def _neg_inf(dtype):
+    return jnp.asarray(-jnp.inf, dtype)
 
 
 def _fwd(x):
