@@ -21,6 +21,8 @@ class ModelConfig:
     model_class: str = "metro"      # "metro" | "twofive" (2.5D baseline)
     backbone: str = "resnet50"      # "resnet50" | "resnet18" | "tiny" (tests)
     preactivation: bool = True      # ResNet v2 (preact) vs v1.5
+    conv_padding: str = "same"      # "same" (TF parity) | "torch" (for
+                                    # torchvision-converted ImageNet weights)
     proc_side: int = C.PROC_SIDE
     stride: int = C.STRIDE          # output stride (dilated final stage)
     depth: int = C.DEPTH            # depth slices of the volumetric heatmap

@@ -103,3 +103,13 @@ class H36MDataset:
 
     def test_example(self, i: int) -> Example:
         return self._example(int(self.test_ids[i]))
+
+    def test_group_label(self, i: int) -> str:
+        """Action name for per-action MPJPE tables (protocol convention:
+        image paths are images/S<subj>/<Action>.<camera>/frame_*.jpg)."""
+        path = str(self.image_paths[int(self.test_ids[i])])
+        seq = os.path.basename(os.path.dirname(path))
+        action = seq.split(".")[0]
+        # H36M action names carry a take suffix ("Walking 1" vs "Walking");
+        # the protocol table merges takes and the "WalkingDog"/"WalkDog" alias
+        return action.split(" ")[0].replace("WalkDog", "WalkingDog")

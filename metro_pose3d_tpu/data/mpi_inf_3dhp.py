@@ -91,3 +91,11 @@ class Mpi3dhpDataset:
 
     def test_example(self, i: int) -> Example:
         return self._example(self._test, i)
+
+    def test_group_label(self, i: int) -> str:
+        """Test-sequence label (TS1..TS6) for the per-set protocol table."""
+        path = str(self._test["image_paths"][i])
+        for part in path.split(os.sep):
+            if part.startswith("TS"):
+                return part
+        return "unknown"

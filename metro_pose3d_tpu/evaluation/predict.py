@@ -58,6 +58,9 @@ def predict_dataset(
         gts["gt3d_rootrel"].append(gt_abs - gt_abs[:, root : root + 1])
         gts["valid"].append(batch["joint_validity"][keep] > 0.5)
     result = {k: np.concatenate(v) for k, v in {**outs, **gts}.items() if v}
+    if hasattr(dataset, "test_group_label"):
+        # deterministic unshuffled single-host pass -> row i is example i
+        result["actions"] = np.array([dataset.test_group_label(i) for i in range(n)])
     return result
 
 

@@ -45,6 +45,7 @@ class MetroModel(nn.Module):
             dtype=dtype,
             bn_momentum=cfg.bn_momentum,
             bn_epsilon=cfg.bn_epsilon,
+            conv_padding=cfg.conv_padding,
             name="backbone",
         )(crops, train)
 

@@ -49,6 +49,7 @@ class StemConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    conv_padding: str = "same"  # "same" (TF/XLA) | "torch" (symmetric 3)
 
     @nn.compact
     def __call__(self, x, use_s2d: bool = False):
@@ -60,6 +61,14 @@ class StemConv(nn.Module):
         ).astype(self.dtype)
         x = x.astype(self.dtype)
         b, h, w, c = x.shape
+        if self.conv_padding == "torch":
+            # torchvision pads 3/3 — a one-pixel grid shift vs XLA SAME
+            # (2 lo/3 hi for even inputs); needed for exact use of
+            # torchvision-converted weights.
+            return lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if not use_s2d or h % 2 or w % 2:
             return lax.conv_general_dilated(
                 x, kernel, (2, 2), "SAME",
@@ -106,6 +115,19 @@ BASIC_BLOCK = {"resnet18", "resnet34"}
 BASE_WIDTHS = {"tiny": 8}  # default 64
 
 
+def _conv_pad(kernel: int, strides: int, dilation: int, mode: str):
+    """Padding spec: XLA "SAME", or torch's symmetric (k-1)//2 * dilation.
+
+    Identical for stride 1; for stride 2 torch's symmetric padding shifts
+    the output grid one pixel vs SAME — matters only when running
+    torchvision-converted weights bit-exactly.
+    """
+    if mode == "torch" and strides > 1 and kernel > 1:
+        p = (kernel - 1) // 2 * dilation
+        return [(p, p), (p, p)]
+    return "SAME"
+
+
 class Bottleneck(nn.Module):
     """Pre-activation bottleneck (ResNet v2) or post-activation (v1.5)."""
 
@@ -116,6 +138,7 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-5
+    conv_padding: str = "same"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -132,7 +155,7 @@ class Bottleneck(nn.Module):
             (k, k),
             strides=(s, s),
             kernel_dilation=(d, d),
-            padding="SAME",
+            padding=_conv_pad(k, s, d, self.conv_padding),
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -169,6 +192,7 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-5
+    conv_padding: str = "same"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -181,7 +205,8 @@ class BasicBlock(nn.Module):
             name=name,
         )
         conv = lambda f, k, s, d, name: nn.Conv(
-            f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding="SAME",
+            f, (k, k), strides=(s, s), kernel_dilation=(d, d),
+            padding=_conv_pad(k, s, d, self.conv_padding),
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
         needs_proj = x.shape[-1] != self.features or self.strides != 1
@@ -210,6 +235,7 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-5
+    conv_padding: str = "same"  # "same" (TF parity) | "torch" (torchvision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -218,7 +244,8 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if self.variant in BASIC_BLOCK else Bottleneck
 
         x = x.astype(self.dtype)
-        x = StemConv(base, dtype=self.dtype, name="conv_stem")(x)
+        x = StemConv(base, dtype=self.dtype, conv_padding=self.conv_padding,
+                     name="conv_stem")(x)
         if not self.preact:
             x = nn.relu(
                 nn.BatchNorm(
@@ -227,7 +254,12 @@ class ResNet(nn.Module):
                     param_dtype=jnp.float32, name="bn_stem",
                 )(x)
             )
-        x = max_pool_3x3_stride2(x)
+        if self.conv_padding == "torch":
+            from metro_pose3d_tpu.ops.pool_pallas import max_pool_3x3_stride2_torch
+
+            x = max_pool_3x3_stride2_torch(x)
+        else:
+            x = max_pool_3x3_stride2(x)
 
         # Stage strides for the requested output stride; once the cumulative
         # stride hits the target, later stages switch to dilation instead.
@@ -250,6 +282,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     bn_momentum=self.bn_momentum,
                     bn_epsilon=self.bn_epsilon,
+                    conv_padding=self.conv_padding,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 

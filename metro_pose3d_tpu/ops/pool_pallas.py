@@ -151,8 +151,36 @@ def max_pool_3x3_stride2_same(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@jax.custom_vjp
+def max_pool_3x3_stride2_torch(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/2 max pool with SYMMETRIC padding 1 (torch MaxPool2d(3,2,1)).
+
+    Window at rows 2i-1..2i+1 — one pixel off the TF/XLA SAME grid. Needed
+    for numerically-exact use of torchvision-converted ImageNet backbones
+    (utils/convert_backbone.py); the reference/TF-parity path uses the
+    `_same` variant above.
+    """
+    pads = ((0, 0), (1, 1), (1, 1), (0, 0))
+    return lax.reduce_window(
+        x, _neg_inf(x.dtype), lax.max, (1, 3, 3, 1), (1, 2, 2, 1), pads
+    )
+
+
 def _neg_inf(dtype):
     return jnp.asarray(-jnp.inf, dtype)
+
+
+def _maxpool_reference_torch(x: jnp.ndarray) -> jnp.ndarray:
+    """Shift-and-max with torch alignment (safe gradient on axon)."""
+    b, h, w, c = x.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=_NEG)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = xp[:, dy : dy + h : 2, dx : dx + w : 2, :][:, :oh, :ow]
+            out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 def _fwd(x):
@@ -165,6 +193,18 @@ def _bwd(x, g):
 
 
 max_pool_3x3_stride2_same.defvjp(_fwd, _bwd)
+
+
+def _fwd_torch(x):
+    return max_pool_3x3_stride2_torch(x), x
+
+
+def _bwd_torch(x, g):
+    _, vjp = jax.vjp(_maxpool_reference_torch, x)
+    return vjp(g)
+
+
+max_pool_3x3_stride2_torch.defvjp(_fwd_torch, _bwd_torch)
 
 
 def _maxpool_reference_odd(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,189 @@
+"""ImageNet backbone conversion: torchvision -> flax, numerically pinned.
+
+The strong claim under test: with `conv_padding="torch"`, a converted
+torchvision ResNet reproduces torch's own feature maps to float tolerance —
+so an ImageNet warm start through utils/convert_backbone.py is exact, not
+approximately-right (SURVEY.md §8 hard part 1 analog for the torch path).
+Uses resnet18 (same mapping machinery, 6x fewer weights -> fast on CPU).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from metro_pose3d_tpu.models.resnet import ResNet
+from metro_pose3d_tpu.utils.convert_backbone import (
+    apply_backbone_init,
+    load_backbone_npz,
+    save_backbone_npz,
+    torchvision_resnet_to_flax,
+)
+
+
+class _TorchBasicBlock(torch.nn.Module):
+    """torchvision.models.resnet.BasicBlock, replicated with identical
+    module names so state_dict keys match (torchvision is not installed in
+    this image; torch cpu is)."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(cout)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + identity)
+
+
+class _TorchResNet18Trunk(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        widths = (64, 128, 256, 512)
+        cin = 64
+        for i, w in enumerate(widths, start=1):
+            stride = 1 if i == 1 else 2
+            layer = torch.nn.Sequential(
+                _TorchBasicBlock(cin, w, stride), _TorchBasicBlock(w, w, 1)
+            )
+            setattr(self, f"layer{i}", layer)
+            cin = w
+
+
+def _torch_resnet18():
+    torch.manual_seed(0)
+    m = _TorchResNet18Trunk().eval()
+    # randomize BN stats so parity isn't trivially mean=0/var=1
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 2.0)
+                mod.weight.normal_(1.0, 0.2)
+                mod.bias.normal_(0, 0.2)
+    return m
+
+
+def _torch_trunk_features(model, x_nchw):
+    """Everything up to (incl.) layer4 — the fully-convolutional trunk."""
+    with torch.no_grad():
+        x = model.conv1(x_nchw)
+        x = model.bn1(x)
+        x = model.relu(x)
+        x = model.maxpool(x)
+        x = model.layer1(x)
+        x = model.layer2(x)
+        x = model.layer3(x)
+        x = model.layer4(x)
+    return x.numpy()
+
+
+@pytest.fixture(scope="module")
+def converted():
+    tm = _torch_resnet18()
+    params, stats = torchvision_resnet_to_flax(tm.state_dict(), depths=(2, 2, 2, 2))
+    return tm, params, stats
+
+
+class TestNumericParity:
+    def test_feature_map_matches_torch(self, converted):
+        tm, params, stats = converted
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+        ref = _torch_trunk_features(tm, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+        net = ResNet(variant="resnet18", output_stride=32, preact=False,
+                     dtype=jnp.float32, conv_padding="torch")
+        variables = {"params": params, "batch_stats": stats}
+        out = np.asarray(net.apply(variables, jnp.asarray(x), False))
+        np.testing.assert_allclose(
+            out.transpose(0, 3, 1, 2), ref, atol=2e-4, rtol=2e-4
+        )
+
+    def test_same_padding_differs_only_in_grid_shift(self, converted):
+        """Sanity: with XLA SAME the outputs are close in distribution but
+        NOT equal (one-pixel grid shift) — guards against the torch mode
+        silently being a no-op."""
+        tm, params, stats = converted
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        ref = _torch_trunk_features(tm, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        net = ResNet(variant="resnet18", output_stride=32, preact=False,
+                     dtype=jnp.float32, conv_padding="same")
+        out = np.asarray(net.apply({"params": params, "batch_stats": stats},
+                                   jnp.asarray(x), False))
+        assert np.abs(out.transpose(0, 3, 1, 2) - ref).max() > 1e-3
+
+
+class TestRoundTrip:
+    def test_npz_roundtrip(self, converted, tmp_path):
+        _, params, stats = converted
+        path = str(tmp_path / "backbone.npz")
+        save_backbone_npz(params, stats, path)
+        p2, s2 = load_backbone_npz(path)
+        for tree_a, tree_b in ((params, p2), (stats, s2)):
+            la = jax.tree.leaves(tree_a)
+            lb = jax.tree.leaves(tree_b)
+            assert len(la) == len(lb)
+            for a, b in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_apply_backbone_init_into_model(self, converted, tmp_path):
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        _, params, stats = converted
+        cfg = apply_overrides(Config(), {
+            "model.backbone": "resnet18", "model.preactivation": "false",
+            "model.conv_padding": "torch", "model.proc_side": "64",
+            "model.compute_dtype": "float32",
+        })
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=True,
+        )
+        new_p, new_s = apply_backbone_init(
+            variables["params"], variables["batch_stats"], params, stats
+        )
+        got = new_p["backbone"]["conv_stem"]["kernel"]
+        np.testing.assert_array_equal(got, params["conv_stem"]["kernel"])
+        # heads untouched
+        assert "head3d" in new_p
+
+    def test_shape_mismatch_reported(self, converted):
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        _, params, stats = converted
+        cfg = apply_overrides(Config(), {
+            "model.backbone": "tiny", "model.proc_side": "64",
+            "model.compute_dtype": "float32", "model.preactivation": "false",
+        })
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=True,
+        )
+        with pytest.raises(ValueError, match="mismatch"):
+            apply_backbone_init(
+                variables["params"], variables["batch_stats"], params, stats
+            )
