@@ -127,6 +127,11 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         cfg, dataset, dataset2d,
         n_backgrounds=len(bg_bank) if bg_bank is not None else 0,
     )
+    from metro_pose3d_tpu.train.loop import make_lr_schedule
+    from metro_pose3d_tpu.utils.writers import MetricWriter
+
+    writer = MetricWriter(cfg.train.logdir)
+    lr_sched = make_lr_schedule(cfg)
     t_last = time.perf_counter()
     n_since = 0
     history = []
@@ -143,7 +148,11 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
                 step_i + 1, metrics["loss"], metrics["loss3d"], metrics["loss2d"],
                 metrics["grad_norm"], n_since / dt,
             )
-            history.append({"step": step_i + 1, **{k: float(v) for k, v in metrics.items()}})
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["crops_per_sec"] = n_since / dt
+            scalars["learning_rate"] = float(lr_sched(step_i))
+            writer.write_scalars(step_i + 1, scalars)
+            history.append({"step": step_i + 1, **scalars})
             t_last = time.perf_counter()
             n_since = 0
 
@@ -154,9 +163,11 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             val = validate(cfg, variables, dataset, mesh)
             log.info("step %d validation MPJPE %.2f mm", step_i + 1, val)
+            writer.write_scalars(step_i + 1, {"val_mpjpe": val})
             history.append({"step": step_i + 1, "val_mpjpe": val})
 
     ckpt.wait()
+    writer.close()
     with open(os.path.join(cfg.train.logdir, "history.json"), "w") as f:
         json.dump(history, f)
     return state

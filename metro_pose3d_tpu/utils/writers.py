@@ -1,0 +1,44 @@
+"""Metric writers: TensorBoard scalars via clu, with a JSON-lines fallback.
+
+Responsibility-parity with the reference's TensorBoard summaries
+(SURVEY.md §6 "Metrics / logging"): losses, learning rate, throughput and
+validation metrics stream to the logdir; `history.jsonl` keeps a plain-text
+mirror so runs remain inspectable without TensorBoard.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+
+class MetricWriter:
+    """Thin facade: write_scalars(step, dict) + flush/close."""
+
+    def __init__(self, logdir: str, use_tensorboard: bool = True):
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "history.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from clu import metric_writers
+
+                self._tb = metric_writers.SummaryWriter(logdir)
+            except Exception:  # clu/tf absent or incompatible: JSON only
+                self._tb = None
+
+    def write_scalars(self, step: int, scalars: dict):
+        clean = {k: float(v) for k, v in scalars.items()}
+        self._jsonl.write(json.dumps({"step": int(step), **clean}) + "\n")
+        if self._tb is not None:
+            self._tb.write_scalars(int(step), clean)
+
+    def flush(self):
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self):
+        self.flush()
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
