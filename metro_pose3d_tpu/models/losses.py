@@ -63,4 +63,22 @@ def compute_losses(logits3d, logits2d, batch, cfg: Config, root_index: int = 0):
     loss2d = _masked_mean(err2d, valid2d)
 
     total = loss3d + cfg.train.loss_2d_weight * loss2d
-    return total, {"loss": total, "loss3d": loss3d, "loss2d": loss2d}
+    parts = {"loss3d": loss3d, "loss2d": loss2d}
+
+    if cfg.train.absloss_weight > 0 and mcfg.model_class == "metro":
+        # auxiliary absolute-pose loss: back-project through the 2D head and
+        # crop intrinsics (the same closed-form LSQ used at inference) and
+        # penalize against absolute camera-frame GT — trains the two heads
+        # to be consistent under reconstruction
+        from metro_pose3d_tpu.ops.pose3d import reconstruct_absolute
+
+        abs_pred = reconstruct_absolute(
+            rel_pred, pose2d_px, batch["intrinsics"].astype(jnp.float32)
+        )
+        err_abs = jnp.abs(abs_pred - gt3d).mean(-1)
+        loss_abs = _masked_mean(err_abs, valid3d * is3d) / 1000.0
+        parts["loss_abs"] = loss_abs
+        total = total + cfg.train.absloss_weight * loss_abs
+
+    parts["loss"] = total
+    return total, parts

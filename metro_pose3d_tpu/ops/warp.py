@@ -14,8 +14,15 @@ Map for output pixel p = (x, y, 1):
     src_px = (fx*xd + cx, fy*yd + cy)
 followed by bilinear sampling with zero border (cv2 BORDER_CONSTANT default).
 
-A Pallas fused variant lives in `ops/warp_pallas.py`; this module is the
-canonical/reference implementation and the autodiff path.
+Why XLA and not a Pallas kernel: the sampler is one batched dynamic gather
+per crop (`jnp.take` over the flattened tile), which XLA lowers to the TPU
+gather unit directly; Mosaic (Pallas) on this toolchain only supports
+same-shape "shuffle" gathers (`dynamic_gather` with indices shaped like the
+operand), so a resampling gather cannot be expressed in-kernel — probed
+2026-08-16 on jax 0.9.0/axon, see also the stem-pool measurements in
+`ops/pool_pallas.py` for why custom-call boundaries are costly here. The
+fused epilogue (occlusion/color/normalize) is elementwise and XLA fuses it
+into the gather's consumer for free.
 """
 from __future__ import annotations
 

@@ -238,3 +238,48 @@ class TestStemS2D:
         assert gk.shape == (7, 7, 3, 8)
         assert bool(jnp.all(jnp.isfinite(gk)))
         assert float(jnp.abs(gk).max()) > 0
+
+
+class TestAbsoluteAuxLoss:
+    def test_absloss_added_and_finite(self):
+        import dataclasses
+        cfg = apply_overrides(
+            Config(),
+            {"model.backbone": "tiny", "model.proc_side": "64",
+             "model.depth": "4", "model.num_joints": "5",
+             "model.compute_dtype": "float32", "train.absloss_weight": "0.1"},
+        )
+        model = MetroModel(cfg.model)
+        rng = np.random.RandomState(1)
+        b, j = 2, 5
+        intr = np.tile(np.array([[100.0, 0, 31.5], [0, 100.0, 31.5], [0, 0, 1]],
+                                np.float32), (b, 1, 1))
+        batch = {
+            "crops": jnp.asarray(rng.uniform(-1, 1, (b, 64, 64, 3)), jnp.float32),
+            "coords3d_true": jnp.asarray(
+                rng.uniform(-300, 300, (b, j, 3)) + np.array([0, 0, 3000]),
+                jnp.float32),
+            "coords2d_true": jnp.asarray(rng.uniform(0, 63, (b, j, 2)), jnp.float32),
+            "joint_validity": jnp.ones((b, j), jnp.float32),
+            "joint_validity_2d": jnp.ones((b, j), jnp.float32),
+            "is_3d": jnp.ones((b,), jnp.float32),
+            "intrinsics": jnp.asarray(intr),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch["crops"], train=False)
+        l3d, l2d = model.apply(variables, batch["crops"], train=False)
+        total_with, parts = compute_losses(l3d, l2d, batch, cfg)
+        cfg0 = apply_overrides(cfg, {"train.absloss_weight": "0"})
+        total_without, _ = compute_losses(l3d, l2d, batch, cfg0)
+        assert "loss_abs" in parts
+        assert float(parts["loss_abs"]) > 0
+        np.testing.assert_allclose(
+            float(total_with),
+            float(total_without) + 0.1 * float(parts["loss_abs"]), rtol=1e-5)
+
+        def f(v):
+            a, c = model.apply(v, batch["crops"], train=False)
+            t, _ = compute_losses(a, c, batch, cfg)
+            return t
+
+        g = jax.grad(f)(variables)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
