@@ -23,6 +23,8 @@ class ModelConfig:
     preactivation: bool = True      # ResNet v2 (preact) vs v1.5
     conv_padding: str = "same"      # "same" (TF parity) | "torch" (for
                                     # torchvision-converted ImageNet weights)
+    stride_position: str = "first"  # "first" (torch) | "last" (TF slim v2 /
+                                    # Keras V2 — the reference's backbone)
     proc_side: int = C.PROC_SIDE
     stride: int = C.STRIDE          # output stride (dilated final stage)
     depth: int = C.DEPTH            # depth slices of the volumetric heatmap

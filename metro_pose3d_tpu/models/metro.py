@@ -46,6 +46,7 @@ class MetroModel(nn.Module):
             bn_momentum=cfg.bn_momentum,
             bn_epsilon=cfg.bn_epsilon,
             conv_padding=cfg.conv_padding,
+            stride_position=cfg.stride_position,
             name="backbone",
         )(crops, train)
 

@@ -162,11 +162,22 @@ class Bottleneck(nn.Module):
             name=name,
         )
         out_features = self.features * 4
-        needs_proj = x.shape[-1] != out_features or self.strides != 1
+        change = x.shape[-1] != out_features
+        # stride without channel change (slim "last"-unit case): shortcut is
+        # a 1x1 subsample of the input (slim's max_pool2d([1,1], stride)),
+        # not a projection — keeps the parameter tree identical across
+        # stride_position modes.
+        subsample = (lambda t: t[:, :: self.strides, :: self.strides, :]) if (
+            self.strides != 1 and not change
+        ) else (lambda t: t)
 
         if self.preact:
             h = nn.relu(bn("bn_pre")(x))
-            shortcut = conv(out_features, 1, self.strides, 1, "proj")(h) if needs_proj else x
+            shortcut = (
+                conv(out_features, 1, self.strides, 1, "proj")(h)
+                if change
+                else subsample(x)
+            )
             h = conv(self.features, 1, 1, 1, "conv1")(h)
             h = nn.relu(bn("bn1")(h))
             h = conv(self.features, 3, self.strides, self.dilation, "conv2")(h)
@@ -174,8 +185,8 @@ class Bottleneck(nn.Module):
             h = conv(out_features, 1, 1, 1, "conv3")(h)
             return shortcut + h
         else:
-            shortcut = x
-            if needs_proj:
+            shortcut = subsample(x)
+            if change:
                 shortcut = conv(out_features, 1, self.strides, 1, "proj")(x)
                 shortcut = bn("bn_proj")(shortcut)
             h = nn.relu(bn("bn1")(conv(self.features, 1, 1, 1, "conv1")(x)))
@@ -209,17 +220,24 @@ class BasicBlock(nn.Module):
             padding=_conv_pad(k, s, d, self.conv_padding),
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
-        needs_proj = x.shape[-1] != self.features or self.strides != 1
+        change = x.shape[-1] != self.features
+        subsample = (lambda t: t[:, :: self.strides, :: self.strides, :]) if (
+            self.strides != 1 and not change
+        ) else (lambda t: t)
         if self.preact:
             h = nn.relu(bn("bn_pre")(x))
-            shortcut = conv(self.features, 1, self.strides, 1, "proj")(h) if needs_proj else x
+            shortcut = (
+                conv(self.features, 1, self.strides, 1, "proj")(h)
+                if change
+                else subsample(x)
+            )
             h = conv(self.features, 3, self.strides, self.dilation, "conv1")(h)
             h = nn.relu(bn("bn1")(h))
             h = conv(self.features, 3, 1, self.dilation, "conv2")(h)
             return shortcut + h
         else:
-            shortcut = x
-            if needs_proj:
+            shortcut = subsample(x)
+            if change:
                 shortcut = bn("bn_proj")(conv(self.features, 1, self.strides, 1, "proj")(x))
             h = nn.relu(bn("bn1")(conv(self.features, 3, self.strides, self.dilation, "conv1")(x)))
             h = bn("bn2")(conv(self.features, 3, 1, self.dilation, "conv2")(h))
@@ -236,6 +254,11 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-5
     conv_padding: str = "same"  # "same" (TF parity) | "torch" (torchvision)
+    # Where a stage's stride-2 lives: "first" unit (torch/torchvision
+    # convention — matches utils/convert_backbone.py) or "last" unit (TF
+    # slim resnet_v2 / Keras V2 — the reference's vendored backbone;
+    # required for converting slim ImageNet checkpoints exactly).
+    stride_position: str = "first"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -263,21 +286,39 @@ class ResNet(nn.Module):
 
         # Stage strides for the requested output stride; once the cumulative
         # stride hits the target, later stages switch to dilation instead.
+        # With stride_position="first" (torch), stage s>1 downsamples at its
+        # first unit; with "last" (TF slim v2), each stage downsamples at its
+        # LAST unit, so the NEXT stage starts at the reduced resolution —
+        # identical stage-boundary shapes and parameter tree, different
+        # within-stage resolutions.
         current_stride = 4
         dilation = 1
+        last_pos = self.stride_position == "last"
         for stage, n_blocks in enumerate(depths):
             features = base * (2**stage)
-            stage_stride = 1 if stage == 0 else 2
-            if current_stride >= self.output_stride and stage_stride > 1:
-                dilation *= stage_stride
-                stage_stride = 1
+            if last_pos:
+                # slim: stages 1..3 end with stride 2, final stage stride 1
+                stage_stride = 2 if stage < len(depths) - 1 else 1
             else:
+                stage_stride = 1 if stage == 0 else 2
+            stage_dil = dilation
+            if stage_stride > 1 and current_stride >= self.output_stride:
+                # stride dropped for the target output stride. torch-style
+                # bumps the rate for the stage itself; slim-style multiplies
+                # the rate AFTER the dropped-stride (last) unit, so the
+                # dropping stage still runs at the previous rate.
+                dilation *= stage_stride
+                if not last_pos:
+                    stage_dil = dilation
+                stage_stride = 1
+            elif stage_stride > 1:
                 current_stride *= stage_stride
+            strided_unit = (n_blocks - 1) if last_pos else 0
             for i in range(n_blocks):
                 x = block_cls(
                     features=features,
-                    strides=stage_stride if i == 0 else 1,
-                    dilation=dilation,
+                    strides=stage_stride if i == strided_unit else 1,
+                    dilation=stage_dil,
                     preact=self.preact,
                     dtype=self.dtype,
                     bn_momentum=self.bn_momentum,
