@@ -21,10 +21,13 @@ class ModelConfig:
     model_class: str = "metro"      # "metro" | "twofive" (2.5D baseline)
     backbone: str = "resnet50"      # "resnet50" | "resnet18" | "tiny" (tests)
     preactivation: bool = True      # ResNet v2 (preact) vs v1.5
-    conv_padding: str = "same"      # "same" (TF parity) | "torch" (for
-                                    # torchvision-converted ImageNet weights)
+    conv_padding: str = "same"      # "same" (TF parity) | "torch"/"keras"
+                                    # (for converted ImageNet weights; they
+                                    # differ only in the pool pad value)
     stride_position: str = "first"  # "first" (torch) | "last" (TF slim v2 /
                                     # Keras V2 — the reference's backbone)
+    v2_biases: bool = False         # slim/Keras v2 bias placement (conv3 +
+                                    # projection + stem)
     proc_side: int = C.PROC_SIDE
     stride: int = C.STRIDE          # output stride (dilated final stage)
     depth: int = C.DEPTH            # depth slices of the volumetric heatmap

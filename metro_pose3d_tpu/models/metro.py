@@ -47,6 +47,7 @@ class MetroModel(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             conv_padding=cfg.conv_padding,
             stride_position=cfg.stride_position,
+            v2_biases=cfg.v2_biases,
             name="backbone",
         )(crops, train)
 

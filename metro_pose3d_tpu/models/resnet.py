@@ -50,6 +50,7 @@ class StemConv(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
     conv_padding: str = "same"  # "same" (TF/XLA) | "torch" (symmetric 3)
+    use_bias: bool = False  # slim/Keras v2 stems carry a bias
 
     @nn.compact
     def __call__(self, x, use_s2d: bool = False):
@@ -59,21 +60,31 @@ class StemConv(nn.Module):
             (7, 7, x.shape[-1], self.features),
             jnp.float32,
         ).astype(self.dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            .astype(self.dtype)
+            if self.use_bias
+            else None
+        )
+
+        def out(y):
+            return y if bias is None else y + bias
+
         x = x.astype(self.dtype)
         b, h, w, c = x.shape
-        if self.conv_padding == "torch":
-            # torchvision pads 3/3 — a one-pixel grid shift vs XLA SAME
+        if self.conv_padding in ("torch", "keras"):
+            # torchvision/Keras pad 3/3 — a one-pixel grid shift vs XLA SAME
             # (2 lo/3 hi for even inputs); needed for exact use of
-            # torchvision-converted weights.
-            return lax.conv_general_dilated(
+            # converted torch/Keras weights.
+            return out(lax.conv_general_dilated(
                 x, kernel, (2, 2), [(3, 3), (3, 3)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            ))
         if not use_s2d or h % 2 or w % 2:
-            return lax.conv_general_dilated(
+            return out(lax.conv_general_dilated(
                 x, kernel, (2, 2), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            ))
         x2 = (
             x.reshape(b, h // 2, 2, w // 2, 2, c)
             .transpose(0, 1, 3, 2, 4, 5)
@@ -85,18 +96,17 @@ class StemConv(nn.Module):
             .transpose(0, 2, 1, 3, 4, 5)
             .reshape(4, 4, 4 * c, self.features)
         )
-        return lax.conv_general_dilated(
+        return out(lax.conv_general_dilated(
             x2, k4, (1, 1), [(1, 2), (1, 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ))
 
 
-# 3x3/2 SAME max pool. Pallas kernel on TPU (the XLA lowerings of this
-# window op run ~50x off memory speed-of-light on axon), shift-and-max XLA
-# decomposition for the gradient and on CPU — see ops/pool_pallas.py. The
-# alignment matches TF/XLA SAME (window at 2i..2i+2, pad high only), i.e.
-# the reference's slim `max_pool2d(..., 'SAME')`, which matters for
-# ImageNet-checkpoint conversion parity.
+# 3x3/2 SAME max pool: reduce_window forward (fuses best in-graph on axon)
+# with a NaN-safe shift-and-max backward via custom_vjp; optional Pallas
+# kernel — see ops/pool_pallas.py for the measurements. Alignment matches
+# TF/XLA SAME (window at 2i..2i+2), i.e. the reference's slim
+# `max_pool2d(..., 'SAME')`, which matters for weight-conversion parity.
 from metro_pose3d_tpu.ops.pool_pallas import (  # noqa: E402
     max_pool_3x3_stride2_same as max_pool_3x3_stride2,
 )
@@ -122,7 +132,7 @@ def _conv_pad(kernel: int, strides: int, dilation: int, mode: str):
     the output grid one pixel vs SAME — matters only when running
     torchvision-converted weights bit-exactly.
     """
-    if mode == "torch" and strides > 1 and kernel > 1:
+    if mode in ("torch", "keras") and strides > 1 and kernel > 1:
         p = (kernel - 1) // 2 * dilation
         return [(p, p), (p, p)]
     return "SAME"
@@ -139,6 +149,9 @@ class Bottleneck(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-5
     conv_padding: str = "same"
+    # slim/Keras v2 put biases on the convs NOT followed by a BN (conv3 and
+    # the projection shortcut); needed for exact v2-checkpoint conversion.
+    v2_biases: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -150,13 +163,13 @@ class Bottleneck(nn.Module):
             param_dtype=jnp.float32,
             name=name,
         )
-        conv = lambda f, k, s, d, name: nn.Conv(
+        conv = lambda f, k, s, d, name, ub=False: nn.Conv(
             f,
             (k, k),
             strides=(s, s),
             kernel_dilation=(d, d),
             padding=_conv_pad(k, s, d, self.conv_padding),
-            use_bias=False,
+            use_bias=ub,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name=name,
@@ -174,7 +187,7 @@ class Bottleneck(nn.Module):
         if self.preact:
             h = nn.relu(bn("bn_pre")(x))
             shortcut = (
-                conv(out_features, 1, self.strides, 1, "proj")(h)
+                conv(out_features, 1, self.strides, 1, "proj", ub=self.v2_biases)(h)
                 if change
                 else subsample(x)
             )
@@ -182,7 +195,7 @@ class Bottleneck(nn.Module):
             h = nn.relu(bn("bn1")(h))
             h = conv(self.features, 3, self.strides, self.dilation, "conv2")(h)
             h = nn.relu(bn("bn2")(h))
-            h = conv(out_features, 1, 1, 1, "conv3")(h)
+            h = conv(out_features, 1, 1, 1, "conv3", ub=self.v2_biases)(h)
             return shortcut + h
         else:
             shortcut = subsample(x)
@@ -204,6 +217,7 @@ class BasicBlock(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-5
     conv_padding: str = "same"
+    v2_biases: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -215,10 +229,10 @@ class BasicBlock(nn.Module):
             param_dtype=jnp.float32,
             name=name,
         )
-        conv = lambda f, k, s, d, name: nn.Conv(
+        conv = lambda f, k, s, d, name, ub=False: nn.Conv(
             f, (k, k), strides=(s, s), kernel_dilation=(d, d),
             padding=_conv_pad(k, s, d, self.conv_padding),
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            use_bias=ub, dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
         change = x.shape[-1] != self.features
         subsample = (lambda t: t[:, :: self.strides, :: self.strides, :]) if (
@@ -227,13 +241,13 @@ class BasicBlock(nn.Module):
         if self.preact:
             h = nn.relu(bn("bn_pre")(x))
             shortcut = (
-                conv(self.features, 1, self.strides, 1, "proj")(h)
+                conv(self.features, 1, self.strides, 1, "proj", ub=self.v2_biases)(h)
                 if change
                 else subsample(x)
             )
             h = conv(self.features, 3, self.strides, self.dilation, "conv1")(h)
             h = nn.relu(bn("bn1")(h))
-            h = conv(self.features, 3, 1, self.dilation, "conv2")(h)
+            h = conv(self.features, 3, 1, self.dilation, "conv2", ub=self.v2_biases)(h)
             return shortcut + h
         else:
             shortcut = subsample(x)
@@ -259,6 +273,7 @@ class ResNet(nn.Module):
     # slim resnet_v2 / Keras V2 — the reference's vendored backbone;
     # required for converting slim ImageNet checkpoints exactly).
     stride_position: str = "first"
+    v2_biases: bool = False  # slim/Keras v2 bias placement (see Bottleneck)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -268,7 +283,7 @@ class ResNet(nn.Module):
 
         x = x.astype(self.dtype)
         x = StemConv(base, dtype=self.dtype, conv_padding=self.conv_padding,
-                     name="conv_stem")(x)
+                     use_bias=self.v2_biases, name="conv_stem")(x)
         if not self.preact:
             x = nn.relu(
                 nn.BatchNorm(
@@ -281,6 +296,10 @@ class ResNet(nn.Module):
             from metro_pose3d_tpu.ops.pool_pallas import max_pool_3x3_stride2_torch
 
             x = max_pool_3x3_stride2_torch(x)
+        elif self.conv_padding == "keras":
+            from metro_pose3d_tpu.ops.pool_pallas import max_pool_3x3_stride2_keras
+
+            x = max_pool_3x3_stride2_keras(x)
         else:
             x = max_pool_3x3_stride2(x)
 
@@ -324,6 +343,7 @@ class ResNet(nn.Module):
                     bn_momentum=self.bn_momentum,
                     bn_epsilon=self.bn_epsilon,
                     conv_padding=self.conv_padding,
+                    v2_biases=self.v2_biases,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 

@@ -195,6 +195,46 @@ def _bwd(x, g):
 max_pool_3x3_stride2_same.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
+def max_pool_3x3_stride2_keras(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/2 max pool with symmetric ZERO padding 1 (Keras applications
+    style: explicit ZeroPadding2D + valid MaxPooling2D). Differs from the
+    torch/TF semantics only where a window is all-negative at the border
+    (the zero pad wins) — needed for exact Keras-v2 weight conversion.
+
+    The zero padding must be EXPLICIT: reduce_window's init value joins
+    every window (it's the reduction seed, not just the pad fill), so
+    seeding with 0 would clamp all-negative interior windows too."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return lax.reduce_window(
+        xp, _neg_inf(x.dtype), lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _maxpool_reference_keras(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=0.0)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = xp[:, dy : dy + h : 2, dx : dx + w : 2, :][:, :oh, :ow]
+            out = s if out is None else jnp.maximum(out, s)
+    return out
+
+
+def _fwd_keras(x):
+    return max_pool_3x3_stride2_keras(x), x
+
+
+def _bwd_keras(x, g):
+    _, vjp = jax.vjp(_maxpool_reference_keras, x)
+    return vjp(g)
+
+
+max_pool_3x3_stride2_keras.defvjp(_fwd_keras, _bwd_keras)
+
+
 def _fwd_torch(x):
     return max_pool_3x3_stride2_torch(x), x
 

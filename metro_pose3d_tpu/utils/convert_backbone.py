@@ -73,6 +73,81 @@ def torchvision_resnet_to_flax(state_dict, depths=(3, 4, 6, 3)):
     return params, stats
 
 
+_KERAS_STACKS = {"resnet50v2": (3, 4, 6, 3), "resnet101v2": (3, 4, 23, 3),
+                 "resnet152v2": (3, 8, 36, 3)}
+
+
+def keras_resnet_v2_to_flax(model, depths=(3, 4, 6, 3)):
+    """Keras `ResNet50V2`-family model -> (params, batch_stats) trees for
+    `ResNet(preact=True, conv_padding="keras", stride_position="last",
+    v2_biases=True)`.
+
+    This is the reference's backbone family (TF ResNet-v2, pre-activation;
+    slim and Keras share block structure and bias placement: biases live on
+    the stem conv, each block's conv3, and projection shortcuts — the convs
+    NOT followed by a BatchNorm). tests/test_convert_backbone.py pins
+    feature-map parity against the Keras model itself.
+
+    Keras layer names: conv1_conv; conv{s+1}_block{b}_{preact_bn,1_conv,
+    1_bn,2_conv,2_bn,3_conv,0_conv}; post_bn.
+    """
+
+    def w(name):
+        return [np.asarray(v, np.float32) for v in model.get_layer(name).get_weights()]
+
+    def bn(name):
+        gamma, beta, mean, var = w(name)
+        return {"scale": gamma, "bias": beta}, {"mean": mean, "var": var}
+
+    k, b = w("conv1_conv")
+    params: dict = {"conv_stem": {"kernel": k, "bias": b}}
+    stats: dict = {}
+    for stage, n_blocks in enumerate(depths, start=1):
+        for blk in range(1, n_blocks + 1):
+            src = f"conv{stage + 1}_block{blk}"
+            dst = f"stage{stage}_block{blk}"
+            bp: dict = {}
+            bs: dict = {}
+            p, s = bn(f"{src}_preact_bn")
+            bp["bn_pre"] = p
+            bs["bn_pre"] = s
+            for i, our in ((1, "conv1"), (2, "conv2")):
+                bp[our] = {"kernel": w(f"{src}_{i}_conv")[0]}
+                p, s = bn(f"{src}_{i}_bn")
+                bp[f"bn{i}"] = p
+                bs[f"bn{i}"] = s
+            k3, b3 = w(f"{src}_3_conv")
+            bp["conv3"] = {"kernel": k3, "bias": b3}
+            try:
+                k0, b0 = w(f"{src}_0_conv")
+                bp["proj"] = {"kernel": k0, "bias": b0}
+            except ValueError:
+                pass  # identity/subsample shortcut
+            params[dst] = bp
+            stats[dst] = bs
+    p, s = bn("post_bn")
+    params["bn_final"] = p
+    stats["bn_final"] = s
+    return params, stats
+
+
+def convert_keras_v2_checkpoint(dst_path: str, name: str = "resnet50v2",
+                                weights: str = "imagenet"):
+    """Build the Keras v2 model (downloads ImageNet weights when `weights=
+    'imagenet'` and the environment has network) and convert to our npz."""
+    import tensorflow as tf
+
+    builders = {
+        "resnet50v2": tf.keras.applications.ResNet50V2,
+        "resnet101v2": tf.keras.applications.ResNet101V2,
+        "resnet152v2": tf.keras.applications.ResNet152V2,
+    }
+    model = builders[name](weights=weights, include_top=False)
+    params, stats = keras_resnet_v2_to_flax(model, _KERAS_STACKS[name])
+    save_backbone_npz(params, stats, dst_path)
+    return dst_path
+
+
 def save_backbone_npz(params: dict, batch_stats: dict, path: str):
     """Flat npz serialization (slash-joined paths) of a backbone tree."""
     flat = {}

@@ -187,3 +187,76 @@ class TestRoundTrip:
             apply_backbone_init(
                 variables["params"], variables["batch_stats"], params, stats
             )
+
+
+class TestKerasV2Parity:
+    """The reference's backbone family: Keras/slim ResNet-v2 (pre-act).
+    Converted weights must reproduce the Keras model's own feature maps."""
+
+    @pytest.fixture(scope="class")
+    def keras_pair(self):
+        tf = pytest.importorskip("tensorflow")
+        keras_model = tf.keras.applications.ResNet50V2(
+            weights=None, include_top=False, input_shape=(64, 64, 3)
+        )
+        # randomize BN stats (fresh models have mean=0/var=1: too forgiving)
+        rng = np.random.default_rng(0)
+        for layer in keras_model.layers:
+            if "bn" in layer.name:
+                g, b, m, v = layer.get_weights()
+                layer.set_weights([
+                    g + rng.normal(0, 0.2, g.shape).astype(np.float32),
+                    b + rng.normal(0, 0.2, b.shape).astype(np.float32),
+                    rng.normal(0, 0.3, m.shape).astype(np.float32),
+                    rng.uniform(0.5, 2.0, v.shape).astype(np.float32),
+                ])
+        from metro_pose3d_tpu.utils.convert_backbone import keras_resnet_v2_to_flax
+
+        params, stats = keras_resnet_v2_to_flax(keras_model)
+        return keras_model, params, stats
+
+    def test_feature_map_matches_keras(self, keras_pair):
+        import tensorflow as tf
+
+        keras_model, params, stats = keras_pair
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+        net = ResNet(variant="resnet50", output_stride=32, preact=True,
+                     dtype=jnp.float32, conv_padding="keras",
+                     stride_position="last", v2_biases=True)
+        variables = {"params": params, "batch_stats": stats}
+        out, state = net.apply(variables, jnp.asarray(x), False,
+                               capture_intermediates=True, mutable=["intermediates"])
+        out = np.asarray(out)
+
+        # tight check at the FIRST block: any structural/mapping error shows
+        # up exactly here, before f32 accumulation across 50 layers
+        early = tf.keras.Model(
+            keras_model.input,
+            keras_model.get_layer("conv2_block1_out").output,
+        ).predict(x, verbose=0)
+        ours_early = np.asarray(
+            state["intermediates"]["stage1_block1"]["__call__"][0]
+        )
+        np.testing.assert_allclose(ours_early, early, atol=2e-5, rtol=2e-5)
+
+        # end-to-end: 50 f32 layers on different backends (oneDNN vs XLA)
+        # accumulate to ~1e-2 max abs; anything structural would be O(1)
+        ref = keras_model.predict(x, verbose=0)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+        assert np.median(np.abs(out - ref)) < 1e-4
+
+    def test_param_tree_compatible_with_model_init(self, keras_pair):
+        _, params, stats = keras_pair
+        net = ResNet(variant="resnet50", output_stride=32, preact=True,
+                     dtype=jnp.float32, conv_padding="keras",
+                     stride_position="last", v2_biases=True)
+        template = jax.eval_shape(
+            lambda: net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+        )
+        t_shapes = jax.tree.map(lambda a: tuple(a.shape), template["params"])
+        c_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), params)
+        assert t_shapes == c_shapes, "converted tree != model tree"
