@@ -1,0 +1,73 @@
+"""Multi-host initialization + per-host data-sharding helpers.
+
+SURVEY.md §6 "Distributed communication backend": the TPU-native comm stack
+is JAX/XLA collectives over ICI within a slice — no NCCL/MPI/Horovod. For
+multi-HOST slices (v5e-16+ or multi-slice), each process must call
+`jax.distributed.initialize` before any backend use; afterwards the same
+pjit programs in train/loop.py and evaluation/engine.py run unchanged —
+`parallel.mesh.make_mesh()` sees all global devices, every host feeds its
+`jax.process_index()`-th shard (pipeline/loader.py already takes
+host_id/host_count), and `make_global_batch` assembles the global array
+from per-host shards.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None):
+    """Idempotent `jax.distributed.initialize` with env fallbacks.
+
+    On single-process setups (this dev environment, unit tests) it is a
+    no-op. TPU pods set the coordinator automatically from the metadata
+    server; explicit args override (e.g. for CPU/GPU clusters).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if explicit is None and "TPU_WORKER_HOSTNAMES" not in os.environ:
+        return  # single host
+    try:
+        jax.distributed.initialize(
+            coordinator_address=explicit,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized by the launcher
+
+
+def local_batch_slice(global_batch_size: int) -> tuple[int, int]:
+    """(this host's batch size, global offset) for an evenly-split batch."""
+    n, i = jax.process_count(), jax.process_index()
+    assert global_batch_size % n == 0, (
+        f"global batch {global_batch_size} not divisible by {n} hosts"
+    )
+    per = global_batch_size // n
+    return per, per * i
+
+
+def make_global_batch(local_batch: dict, mesh) -> dict:
+    """Per-host numpy shards -> global jax.Arrays sharded on the data axis.
+
+    Single-host: equivalent to `shard_batch`. Multi-host: each process
+    passes ONLY its local rows; the result is a global array of
+    `local_rows * process_count` logical batch entries.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(np.asarray(v), sharding)
+            for k, v in local_batch.items()
+        }
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in local_batch.items()
+    }

@@ -106,3 +106,29 @@ class TestEntry:
         out = fn(*args)
         assert out["pose3d_rootrel"].shape == (4, 17, 3)
         assert np.isfinite(np.asarray(out["pose3d_abs"])).all()
+
+
+class TestDistributedHelpers:
+    def test_single_host_noop_and_slices(self):
+        from metro_pose3d_tpu.parallel.distributed import (
+            initialize_multihost, local_batch_slice, make_global_batch,
+        )
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+
+        initialize_multihost()  # no-op on one host
+        per, off = local_batch_slice(16)
+        assert per == 16 and off == 0
+
+        mesh = make_mesh(8)
+        batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+        global_batch = make_global_batch(batch, mesh)
+        assert global_batch["x"].shape == (16, 1)
+        np.testing.assert_array_equal(np.asarray(global_batch["x"]), batch["x"])
+        # sharded on the data axis across the 8 virtual devices
+        assert len(global_batch["x"].sharding.device_set) == 8
+
+    def test_slice_math(self):
+        from metro_pose3d_tpu.parallel.distributed import local_batch_slice
+
+        per, off = local_batch_slice(8)
+        assert (per, off) == (8, 0)  # single host: identity
