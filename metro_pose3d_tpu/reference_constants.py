@@ -23,8 +23,8 @@ BOX_SIZE_MM = 2200.0   # [VERIFY] metric side of the cubic heatmap volume (mm)
 
 # --- Image normalization (framework convention) ------------------------------
 # uint8 [0,255] -> float in [-1, 1]; slim ResNet-v2 style ("x/127.5 - 1").
-IMAGE_SCALE = 1.0 / 127.5
-IMAGE_OFFSET = -1.0
+IMAGE_SCALE = 1.0 / 127.5  # multiplier applied to [0,255] intensities
+IMAGE_OFFSET = -1.0        # additive offset: 0 -> -1, 255 -> +1
 
 # --- Pixel convention (framework convention) ---------------------------------
 # Pixel (i, j) has its *center* at continuous coordinate (i, j); an SxS image
