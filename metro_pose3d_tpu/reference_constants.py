@@ -44,7 +44,7 @@ TEST_BOX_EXPANSION = 1.0   # deterministic test-time square-box expansion
 # --- Training defaults ([VERIFY]) ---------------------------------------------
 ADAM_LR = 1e-4
 BN_MOMENTUM = 0.99         # flax momentum convention: new = m*old + (1-m)*batch
-BN_EPSILON = 1e-5
+BN_EPSILON = 1e-5          # batch-norm variance epsilon (slim default)
 LOSS_2D_WEIGHT = 0.1       # weight of the 2D-head L1 loss vs the 3D L1 loss
 
 # --- Eval protocol ------------------------------------------------------------
