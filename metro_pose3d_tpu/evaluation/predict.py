@@ -19,6 +19,26 @@ from metro_pose3d_tpu.parallel.mesh import shard_batch
 from metro_pose3d_tpu.pipeline.loader import batch_iterator
 
 
+def compute_mean_bones(dataset, n_examples: int = 512) -> np.ndarray:
+    """Mean bone lengths (mm) over the train split's world-space GT — the
+    target skeleton for `eval.scale_recovery="bone_lengths"` (the
+    reference's universal-skeleton rescale, SURVEY.md §3.2)."""
+    ji = dataset.joint_info
+    edges = ji.bones
+    n = min(n_examples, dataset.n_train)
+    acc = np.zeros(len(edges), np.float64)
+    count = 0
+    for i in range(n):
+        w = dataset.train_example(i).world_coords
+        if w is None:
+            continue
+        acc += np.linalg.norm(w[edges[:, 0]] - w[edges[:, 1]], axis=-1)
+        count += 1
+    if count == 0:
+        raise ValueError("dataset has no 3D ground truth to average bones over")
+    return (acc / count).astype(np.float32)
+
+
 def predict_dataset(
     cfg: Config,
     variables,
@@ -31,6 +51,8 @@ def predict_dataset(
     via `save_predictions`)."""
     ji = dataset.joint_info
     root = ji.names.index(dataset.root_joint)
+    if mean_bones is None and cfg.eval.scale_recovery == "bone_lengths":
+        mean_bones = compute_mean_bones(dataset)
     fn = make_predict_fn(
         cfg, ji.mirror_mapping, root_index=root, from_tiles=True, mesh=mesh,
         bone_edges=ji.bones if mean_bones is not None else None,

@@ -92,3 +92,42 @@ class TestPredictDump:
         res = eval_3dhp(path, joint_subset=np.arange(14))
         assert 0 <= res["pck_150"] <= 100
         assert 0 <= res["auc"] <= 100
+
+
+class TestBoneScaleRecovery:
+    def test_mean_bones_and_rescaled_predictions(self):
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.evaluation.predict import (
+            compute_mean_bones, predict_dataset,
+        )
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        import jax
+        import jax.numpy as jnp
+
+        cfg = apply_overrides(Config(), {
+            "model.backbone": "tiny", "model.proc_side": "64",
+            "model.depth": "4", "model.compute_dtype": "float32",
+            "data.source_side": "128", "eval.batch_size": "4",
+            "eval.scale_recovery": "bone_lengths", "eval.flip_tta": "false",
+        })
+        ds = SyntheticDataset(n_train=8, n_test=4)
+        bones = compute_mean_bones(ds, 8)
+        assert bones.shape == (len(ds.joint_info.bones),)
+        assert np.all(bones > 50) and np.all(bones < 900)  # plausible mm
+
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False,
+        )
+        result = predict_dataset(cfg, variables, ds, n_examples=4)
+        pred = result["pose3d_rootrel"]
+        edges = ds.joint_info.bones
+        lens = np.linalg.norm(pred[:, edges[:, 0]] - pred[:, edges[:, 1]], axis=-1)
+        # LSQ rescale: per-example scalar s* matches the closed form, so the
+        # rescaled skeleton's bone lengths correlate with the target profile
+        ratio = lens.mean(0) / bones
+        assert ratio.std() / ratio.mean() < 1.5  # loosely consistent profile
+        assert np.isfinite(pred).all()
