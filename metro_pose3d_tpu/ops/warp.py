@@ -108,12 +108,12 @@ def bilinear_sample(image, coords, valid_mask=None, border_value=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("out_side",))
-def warp_images(sources, h_mats, k_vecs, dists, out_side: int):
-    """Batched crop warp: [B,Hs,Ws,C] sources -> [B,S,S,C] float32 crops.
+def warp_images_reference(sources, h_mats, k_vecs, dists, out_side: int):
+    """Per-crop vmapped warp (the straightforward formulation).
 
-    sources may be uint8 (converted on device); per-crop params from
-    `geom.camera.get_warp_params`. Values keep the source scale ([0,255] for
-    uint8 inputs) — normalization happens in the augmentation pipeline.
+    Kept as the numerical reference and the path for float sources; the
+    uint8 production path is `warp_images` below (identical math, gathers
+    restructured for this platform's gather engine).
     """
 
     def one(src, h, k, d):
@@ -121,3 +121,112 @@ def warp_images(sources, h_mats, k_vecs, dists, out_side: int):
         return bilinear_sample(src, coords, valid_mask=in_front)
 
     return jax.vmap(one)(sources, h_mats, k_vecs, dists)
+
+
+@functools.partial(jax.jit, static_argnames=("out_side",))
+def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
+    """Gather-engine-shaped warp for uint8 RGB tiles.
+
+    Measured on the axon v5e: XLA `take` here is value-throughput-bound
+    (~0.5-2 GB/s) and per-index-bound (~130-200M idx/s); batched/windowed
+    gather forms lower to serial loops. So the sampler (a) packs RGB into
+    one int32 per pixel (3x fewer gathered bytes), (b) pre-builds stride-2
+    width-3 windowed rows so ONE index fetches both horizontal taps
+    (x0, x0+1 always lie inside the window starting at 2*(x0//2)), and
+    (c) flattens the whole batch into a single global `take` per vertical
+    tap (2 total instead of 4 per-crop vmapped gathers of 3-value rows —
+    12x fewer indices-equivalents than the naive form). 4.4x faster
+    end-to-end at [256,512,512,3]u8 -> 256^2 crops.
+    """
+    b, t, tw, _ = sources_u8.shape
+    s = out_side
+    assert t == tw, "square source tiles expected"
+
+    # ---- packed, windowed source table ------------------------------------
+    s32 = sources_u8.astype(jnp.int32)
+    packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [B,T,T]
+    padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 2)))  # y+1 tap, x window
+    nwin = t // 2
+    win = jnp.stack(
+        [
+            padded[:, :, 0 : t : 2],
+            padded[:, :, 1 : t + 1 : 2],
+            padded[:, :, 2 : t + 2 : 2],
+        ],
+        axis=-1,
+    )  # [B, T+1, T//2, 3]: window k of row y covers x = 2k .. 2k+2
+    flat = win.reshape(b * (t + 1) * nwin, 3)
+
+    # ---- per-crop sample coordinates --------------------------------------
+    coords, in_front = jax.vmap(
+        lambda h, k, d: warp_coords(h, k, d, (s, s))
+    )(h_mats, k_vecs, dists)  # [B,S,S,2], [B,S,S]
+    u = coords[..., 0]
+    v = coords[..., 1]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0).astype(jnp.float32)
+    fy = (v - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # Window selection must cover BOTH taps x0 and x0+1 for any x0 >= -1:
+    # x0 >= 0 -> window k = x0//2 holds x0 at position p = x0 - 2k in {0,1}
+    # and x0+1 at p+1; x0 == -1 -> only the RIGHT tap (x=0) is in range, so
+    # use window 0 with p = -1 (left slot masked out by x_in0 below).
+    xeff = jnp.clip(x0i, -1, t - 1)
+    kwin = jnp.maximum(xeff, 0) >> 1
+    p = xeff - 2 * kwin  # in {-1, 0, 1}
+    base = (jnp.arange(b, dtype=jnp.int32) * (t + 1))[:, None, None]
+
+    def row_vals(yi):
+        """Gather the 3-wide window rows at source row `yi` (clipped) and
+        return the (x0, x0+1) packed values selected by window position."""
+        yc = jnp.clip(yi, 0, t)  # row t exists (zero pad) — masked anyway
+        lin = ((base + yc) * nwin + kwin).reshape(-1)
+        rows = jnp.take(flat, lin, axis=0).reshape(b, s, s, 3)
+        left = jnp.where(p <= 0, rows[..., 0], rows[..., 1])
+        right = jnp.where(
+            p < 0, rows[..., 0], jnp.where(p == 0, rows[..., 1], rows[..., 2])
+        )
+        return left, right
+
+    a_l, a_r = row_vals(y0i)      # source row y0
+    b_l, b_r = row_vals(y0i + 1)  # source row y0 + 1
+
+    def unpack(p):
+        return jnp.stack(
+            [(p & 0xFF), ((p >> 8) & 0xFF), ((p >> 16) & 0xFF)], axis=-1
+        ).astype(jnp.float32)
+
+    # ---- per-tap validity (identical to bilinear_sample's border policy) --
+    x_in0 = (x0i >= 0) & (x0i < t)
+    x_in1 = (x0i + 1 >= 0) & (x0i + 1 < t)
+    y_in0 = (y0i >= 0) & (y0i < t)
+    y_in1 = (y0i + 1 >= 0) & (y0i + 1 < t)
+
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = (fx * (1 - fy))[..., None]
+    w10 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    zero = jnp.zeros((), jnp.float32)
+    out = (
+        w00 * jnp.where((x_in0 & y_in0)[..., None], unpack(a_l), zero)
+        + w01 * jnp.where((x_in1 & y_in0)[..., None], unpack(a_r), zero)
+        + w10 * jnp.where((x_in0 & y_in1)[..., None], unpack(b_l), zero)
+        + w11 * jnp.where((x_in1 & y_in1)[..., None], unpack(b_r), zero)
+    )
+    return jnp.where(in_front[..., None], out, zero)
+
+
+def warp_images(sources, h_mats, k_vecs, dists, out_side: int):
+    """Batched crop warp: [B,Hs,Ws,C] sources -> [B,S,S,C] float32 crops.
+
+    uint8 RGB sources take the packed/windowed gather path (see
+    `_warp_images_packed`); other dtypes/channel counts use the reference
+    formulation. Values keep the source scale ([0,255] for uint8 inputs) —
+    normalization happens in the augmentation pipeline.
+    """
+    if sources.dtype == jnp.uint8 and sources.shape[-1] == 3 and sources.shape[1] % 2 == 0:
+        return _warp_images_packed(sources, h_mats, k_vecs, dists, out_side)
+    return warp_images_reference(sources, h_mats, k_vecs, dists, out_side)

@@ -11,6 +11,23 @@ Regenerate intentionally with:
 (then inspect the diff before committing).
 """
 import os
+import sys
+
+if __name__ == "__main__" and "--regen" in sys.argv:
+    # goldens are CPU-numerics (the suite runs on the virtual CPU mesh);
+    # the platform must be forced BEFORE any jax-touching import — package
+    # modules create module-level arrays, and this image's sitecustomize
+    # ignores the JAX_PLATFORMS env var
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # ...and under the SAME 8-virtual-device pool as conftest.py: the
+    # device count changes f32 reduction order enough to move the LSQ
+    # reconstruction by ~1e-3 mm
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -91,9 +108,7 @@ def test_flip_tta_consistency():
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--regen" in sys.argv:
+    if "--regen" in sys.argv:  # platform already forced at the top
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
         np.savez(GOLDEN_PATH, **_compute_all())
         print(f"wrote {GOLDEN_PATH}")

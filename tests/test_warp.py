@@ -2,6 +2,7 @@
 homographies, border policy, distortion path vs the host camera math, color
 jitter and occluder compositing."""
 import cv2
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -187,3 +188,64 @@ class TestOcclusion:
         np.testing.assert_allclose(out[0, :6, :6], 0.9, atol=1e-5)
         # crop 1: gate off -> unchanged
         np.testing.assert_allclose(out[1], np.asarray(crops)[1], atol=1e-6)
+
+
+class TestPackedWarpEquivalence:
+    """The packed/windowed uint8 gather path must reproduce the reference
+    warp formulation exactly (same taps, same weights, same border policy),
+    including crops that run off every tile border."""
+
+    def _params(self, rng, b, t, extreme=False):
+        hs = []
+        ks = []
+        ds = []
+        for i in range(b):
+            ang = rng.uniform(-0.7, 0.7)
+            c, s = np.cos(ang), np.sin(ang)
+            scale = rng.uniform(0.3, 3.0)
+            # H maps output pixel -> source ray; keep z row near identity
+            h = np.array([
+                [c / scale, -s / scale, rng.uniform(-0.3, 0.3)],
+                [s / scale, c / scale, rng.uniform(-0.3, 0.3)],
+                [rng.uniform(-4e-4, 4e-4), rng.uniform(-4e-4, 4e-4), 1.0],
+            ])
+            if extreme:
+                h[:2, 2] += rng.uniform(-2.0, 2.0, 2)  # push far off-tile
+            hs.append(h)
+            f = rng.uniform(0.4, 2.5)
+            ks.append([f * t / 4, f * t / 4, t / 2 + rng.uniform(-t, t) * (2 if extreme else 0.4),
+                       t / 2 + rng.uniform(-t, t) * (2 if extreme else 0.4)])
+            ds.append(rng.uniform(-0.2, 0.2, 5) if i % 2 else np.zeros(5))
+        return (jnp.asarray(np.array(hs), jnp.float32),
+                jnp.asarray(np.array(ks), jnp.float32),
+                jnp.asarray(np.array(ds), jnp.float32))
+
+    @pytest.mark.parametrize("extreme", [False, True])
+    def test_matches_reference(self, extreme):
+        from metro_pose3d_tpu.ops.warp import (
+            _warp_images_packed, warp_images, warp_images_reference,
+        )
+
+        rng = np.random.default_rng(11 + extreme)
+        b, t, s = 4, 64, 32
+        src = jnp.asarray(rng.integers(0, 256, (b, t, t, 3)), jnp.uint8)
+        h, k, d = self._params(rng, b, t, extreme)
+        ref = np.asarray(warp_images_reference(src, h, k, d, s))
+        fast = np.asarray(_warp_images_packed(src, h, k, d, s))
+        np.testing.assert_allclose(fast, ref, atol=1e-3)
+        # the public entry point dispatches uint8 to the packed path
+        pub = np.asarray(warp_images(src, h, k, d, s))
+        np.testing.assert_allclose(pub, ref, atol=1e-3)
+
+    def test_float_sources_use_reference_path(self):
+        from metro_pose3d_tpu.ops.warp import warp_images, warp_images_reference
+
+        rng = np.random.default_rng(3)
+        b, t, s = 2, 32, 16
+        src = jnp.asarray(rng.normal(0, 1, (b, t, t, 3)), jnp.float32)
+        h, k, d = self._params(rng, b, t)
+        np.testing.assert_allclose(
+            np.asarray(warp_images(src, h, k, d, s)),
+            np.asarray(warp_images_reference(src, h, k, d, s)),
+            atol=1e-5,
+        )
