@@ -155,7 +155,11 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
         ],
         axis=-1,
     )  # [B, T+1, T//2, 3]: window k of row y covers x = 2k .. 2k+2
-    flat = win.reshape(b * (t + 1) * nwin, 3)
+    # vertical pairing: table row (y, k) = the full 2x3 bilinear window
+    # covering source rows y..y+1, columns 2k..2k+2 -> ONE take per output
+    # pixel (index count is the bottleneck: ~80-130M idx/s on this platform)
+    win6 = jnp.concatenate([win[:, :-1], win[:, 1:]], axis=-1)  # [B,T,nwin,6]
+    flat = win6.reshape(b * t * nwin, 6)
 
     # ---- per-crop sample coordinates --------------------------------------
     coords, in_front = jax.vmap(
@@ -177,22 +181,28 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
     xeff = jnp.clip(x0i, -1, t - 1)
     kwin = jnp.maximum(xeff, 0) >> 1
     p = xeff - 2 * kwin  # in {-1, 0, 1}
-    base = (jnp.arange(b, dtype=jnp.int32) * (t + 1))[:, None, None]
+    base = (jnp.arange(b, dtype=jnp.int32) * t)[:, None, None]
 
-    def row_vals(yi):
-        """Gather the 3-wide window rows at source row `yi` (clipped) and
-        return the (x0, x0+1) packed values selected by window position."""
-        yc = jnp.clip(yi, 0, t)  # row t exists (zero pad) — masked anyway
-        lin = ((base + yc) * nwin + kwin).reshape(-1)
-        rows = jnp.take(flat, lin, axis=0).reshape(b, s, s, 3)
-        left = jnp.where(p <= 0, rows[..., 0], rows[..., 1])
-        right = jnp.where(
-            p < 0, rows[..., 0], jnp.where(p == 0, rows[..., 1], rows[..., 2])
-        )
+    # One take fetches the whole 2x3 window for rows y0..y0+1. Same 3-state
+    # treatment vertically as horizontally: for y0 == -1 the window anchors
+    # at row 0 and the y0+1 tap reads the window's FIRST row (the y0 tap is
+    # out of range and masked); row t is the zero pad row, masked likewise.
+    yeff = jnp.clip(y0i, -1, t - 1)
+    yc = jnp.maximum(yeff, 0)
+    qtop = yeff < yc  # True only when y0 == -1
+    lin = ((base + yc) * nwin + kwin).reshape(-1)
+    rows = jnp.take(flat, lin, axis=0).reshape(b, s, s, 6)
+
+    def pick(r0, r1, r2):
+        left = jnp.where(p <= 0, r0, r1)
+        right = jnp.where(p < 0, r0, jnp.where(p == 0, r1, r2))
         return left, right
 
-    a_l, a_r = row_vals(y0i)      # source row y0
-    b_l, b_r = row_vals(y0i + 1)  # source row y0 + 1
+    a_l, a_r = pick(rows[..., 0], rows[..., 1], rows[..., 2])  # window row 0
+    b_l, b_r = pick(rows[..., 3], rows[..., 4], rows[..., 5])  # window row 1
+    # y0 == -1: the (valid) y0+1 tap is window row 0, not row 1
+    b_l = jnp.where(qtop, a_l, b_l)
+    b_r = jnp.where(qtop, a_r, b_r)
 
     def unpack(p):
         return jnp.stack(
