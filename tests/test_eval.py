@@ -131,3 +131,39 @@ class TestBoneScaleRecovery:
         ratio = lens.mean(0) / bones
         assert ratio.std() / ratio.mean() < 1.5  # loosely consistent profile
         assert np.isfinite(pred).all()
+
+
+class TestTruncationEval:
+    def test_protocol_runs_and_degrades_monotonically_in_coverage(self):
+        import jax
+        import jax.numpy as jnp
+
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.evaluation.truncation import (
+            evaluate_truncation, truncate_box,
+        )
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        np.testing.assert_allclose(
+            truncate_box([10, 20, 30, 100], 0.4), [10, 20, 30, 60])
+
+        cfg = apply_overrides(Config(), {
+            "model.backbone": "tiny", "model.proc_side": "64",
+            "model.depth": "4", "model.compute_dtype": "float32",
+            "data.source_side": "128",
+        })
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False)
+        ds = SyntheticDataset(n_train=4, n_test=6)
+        table = evaluate_truncation(cfg, variables, ds,
+                                    fractions=(0.0, 0.4), n_examples=6)
+        assert set(table) == {0.0, 0.4}
+        for row in table.values():
+            assert np.isfinite(row["mpjpe"])
+        # cutting the box reduces the fraction of in-crop joints
+        assert table[0.4]["n_visible"] < table[0.0]["n_visible"]
+        # at 40% truncation some joints are out of crop -> hidden bucket exists
+        assert "mpjpe_hidden" in table[0.4]
