@@ -24,8 +24,10 @@ class ModelConfig:
     conv_padding: str = "same"      # "same" (TF parity) | "torch"/"keras"
                                     # (for converted ImageNet weights; they
                                     # differ only in the pool pad value)
-    stride_position: str = "first"  # "first" (torch) | "last" (TF slim v2 /
-                                    # Keras V2 — the reference's backbone)
+    stride_position: str = "last"   # "last" (TF slim v2 / Keras V2 — the
+                                    # reference's backbone; also ~9% faster:
+                                    # stage tails downsample a block earlier)
+                                    # | "first" (torch/torchvision layout)
     v2_biases: bool = False         # slim/Keras v2 bias placement (conv3 +
                                     # projection + stem)
     proc_side: int = C.PROC_SIDE
