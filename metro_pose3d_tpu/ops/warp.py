@@ -127,16 +127,16 @@ def warp_images_reference(sources, h_mats, k_vecs, dists, out_side: int):
 def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
     """Gather-engine-shaped warp for uint8 RGB tiles.
 
-    Measured on the axon v5e: XLA `take` here is value-throughput-bound
-    (~0.5-2 GB/s) and per-index-bound (~130-200M idx/s); batched/windowed
-    gather forms lower to serial loops. So the sampler (a) packs RGB into
-    one int32 per pixel (3x fewer gathered bytes), (b) pre-builds stride-2
-    width-3 windowed rows so ONE index fetches both horizontal taps
-    (x0, x0+1 always lie inside the window starting at 2*(x0//2)), and
-    (c) flattens the whole batch into a single global `take` per vertical
-    tap (2 total instead of 4 per-crop vmapped gathers of 3-value rows —
-    12x fewer indices-equivalents than the naive form). 4.4x faster
-    end-to-end at [256,512,512,3]u8 -> 256^2 crops.
+    Measured on the axon v5e: XLA `take` here is per-index-bound
+    (~65-200M idx/s depending on row width) and value-bound (~0.5-2 GB/s);
+    batched (vmapped) gathers are 16x slower and windowed (2,2)-slice
+    gathers lower to serial loops. So the sampler (a) packs RGB into one
+    int32 per pixel, (b) pre-builds stride-2 width-3 windowed rows PAIRED
+    vertically (each table row holds the full 2x3 bilinear window for
+    source rows y..y+1, columns 2k..2k+2), and (c) issues ONE global flat
+    `take` for the whole batch — one index per output pixel instead of the
+    naive form's 4 per-crop gathers of 3-value rows. 3.4x faster at
+    [256,512,512,3]u8 -> 256^2 crops (1160 -> 337 ms).
     """
     b, t, tw, _ = sources_u8.shape
     s = out_side
@@ -204,9 +204,9 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
     b_l = jnp.where(qtop, a_l, b_l)
     b_r = jnp.where(qtop, a_r, b_r)
 
-    def unpack(p):
+    def unpack(px):
         return jnp.stack(
-            [(p & 0xFF), ((p >> 8) & 0xFF), ((p >> 16) & 0xFF)], axis=-1
+            [(px & 0xFF), ((px >> 8) & 0xFF), ((px >> 16) & 0xFF)], axis=-1
         ).astype(jnp.float32)
 
     # ---- per-tap validity (identical to bilinear_sample's border policy) --
