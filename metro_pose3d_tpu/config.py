@@ -99,6 +99,8 @@ class EvalConfig:
     flip_tta: bool = True
     scale_recovery: str = "metric"  # "metric" | "bone_lengths"
     reconstruct_absolute: bool = True
+    reconstruction: str = "full"    # "full" perspective LSQ | "weak"
+                                    # (orthographic z-decoupled variant)
     pred_path: str = ""             # where --test dumps predictions (.npz)
 
 

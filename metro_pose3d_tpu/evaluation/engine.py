@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from metro_pose3d_tpu.config import Config
-from metro_pose3d_tpu.models.metro import MetroModel, decode_metro
+from metro_pose3d_tpu.models.metro import (
+    MetroModel,
+    decode_metro,
+    decode_twofive,
+    twofive_backproject,
+)
 from metro_pose3d_tpu.ops.color import normalize
 from metro_pose3d_tpu.ops.decode import root_relative
 from metro_pose3d_tpu.ops.pose3d import reconstruct_absolute, rescale_to_bone_lengths
@@ -54,8 +59,22 @@ def make_predict_fn(
     edges = jnp.asarray(bone_edges) if bone_edges is not None else None
     bones = jnp.asarray(mean_bones) if mean_bones is not None else None
 
+    is_twofive = cfg.model.model_class == "twofive"
+
     def forward(variables, crops_norm, intrinsics):
         b = crops_norm.shape[0]
+        if is_twofive:
+            # 2.5D image-aligned baseline (`--model-class` in the reference):
+            # x/y decode in crop pixels, z metric — root-relative metric
+            # coordinates require a known root depth, so this path returns
+            # the raw 2.5D prediction; predict_dataset lifts it with the GT
+            # root depth (the paper's evaluation convention for baselines).
+            # Flip-TTA would need pixel-space unflip of x only; the baseline
+            # is evaluated without TTA like the paper's ablation.
+            l3d, l2d = model.apply(variables, crops_norm, train=False)
+            pose25d, pose2d = decode_twofive(l3d, l2d, cfg.model)
+            return {"pose25d": pose25d, "pose2d_px": pose2d}
+
         if flip_tta:
             # one doubled batch: [orig; mirrored]
             both = jnp.concatenate([crops_norm, flip_crop(crops_norm)], axis=0)
@@ -74,7 +93,10 @@ def make_predict_fn(
             pose3d_rel = rescale_to_bone_lengths(pose3d_rel, edges, bones)
         out = {"pose3d_rootrel": pose3d_rel, "pose2d_px": pose2d}
         if reconstruct:
-            out["pose3d_abs"] = reconstruct_absolute(pose3d_rel, pose2d, intrinsics)
+            out["pose3d_abs"] = reconstruct_absolute(
+                pose3d_rel, pose2d, intrinsics,
+                weak_perspective=cfg.eval.reconstruction == "weak",
+            )
         return out
 
     if from_tiles:

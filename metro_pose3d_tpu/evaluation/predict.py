@@ -72,6 +72,26 @@ def predict_dataset(
         dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
         pred = jax.device_get(fn(variables, {k: v for k, v in dev_batch.items()}))
         keep = pad > 0.5
+        if "pose25d" in pred:
+            # 2.5D baseline: lift (u, v, z_centered) to camera mm with the
+            # GT root depth (paper convention for image-aligned baselines —
+            # exactly the scale/distance dependence MeTRo's metric volume
+            # removes).
+            from metro_pose3d_tpu.models.metro import twofive_backproject
+
+            p25 = np.asarray(pred["pose25d"])
+            z_rel = p25[..., 2] - p25[:, root : root + 1, 2]
+            p25 = np.concatenate([p25[..., :2], z_rel[..., None]], -1)
+            root_depth = batch["coords3d_true"][:, root, 2]
+            abs3d = np.asarray(
+                twofive_backproject(
+                    jax.numpy.asarray(p25),
+                    jax.numpy.asarray(batch["intrinsics"]),
+                    jax.numpy.asarray(root_depth),
+                )
+            )
+            pred["pose3d_abs"] = abs3d
+            pred["pose3d_rootrel"] = abs3d - abs3d[:, root : root + 1]
         for k in outs:
             if k in pred:
                 outs[k].append(pred[k][keep])

@@ -167,3 +167,67 @@ class TestTruncationEval:
         assert table[0.4]["n_visible"] < table[0.0]["n_visible"]
         # at 40% truncation some joints are out of crop -> hidden bucket exists
         assert "mpjpe_hidden" in table[0.4]
+
+
+class TestTwoFivePredictPath:
+    def test_baseline_predicts_and_scores(self):
+        import jax
+        import jax.numpy as jnp
+
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.evaluation.predict import predict_dataset
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        cfg = apply_overrides(Config(), {
+            "model.backbone": "tiny", "model.proc_side": "64",
+            "model.depth": "4", "model.compute_dtype": "float32",
+            "model.model_class": "twofive",
+            "data.source_side": "128", "eval.batch_size": "4",
+            "eval.flip_tta": "false",
+        })
+        ds = SyntheticDataset(n_train=4, n_test=4)
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False)
+        result = predict_dataset(cfg, variables, ds, n_examples=4)
+        assert result["pose3d_rootrel"].shape == (4, 17, 3)
+        assert result["pose3d_abs"].shape == (4, 17, 3)
+        assert np.isfinite(result["pose3d_rootrel"]).all()
+        # root-relative by construction: root row is ~0
+        np.testing.assert_allclose(result["pose3d_rootrel"][:, 0], 0, atol=1e-3)
+        # absolute depth anchored at GT root depth
+        np.testing.assert_allclose(
+            result["pose3d_abs"][:, 0, 2], result["gt3d_abs"][:, 0, 2], rtol=1e-5)
+
+    def test_weak_perspective_reconstruction_option(self):
+        import jax
+        import jax.numpy as jnp
+
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.evaluation.engine import make_predict_fn
+        from metro_pose3d_tpu.geom.joints import H36M_17
+        from metro_pose3d_tpu.models.metro import MetroModel
+
+        outs = {}
+        for mode in ("full", "weak"):
+            cfg = apply_overrides(Config(), {
+                "model.backbone": "tiny", "model.proc_side": "64",
+                "model.depth": "4", "model.compute_dtype": "float32",
+                "eval.reconstruction": mode,
+            })
+            model = MetroModel(cfg.model)
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+                train=False)
+            fn = make_predict_fn(cfg, H36M_17.mirror_mapping,
+                                 flip_tta=False, reconstruct=True)
+            crops = jnp.asarray(
+                np.random.RandomState(0).randint(0, 256, (2, 64, 64, 3)), jnp.uint8)
+            intr = jnp.tile(jnp.asarray(
+                [[90.0, 0, 31.5], [0, 90.0, 31.5], [0, 0, 1]], jnp.float32)[None],
+                (2, 1, 1))
+            outs[mode] = np.asarray(fn(variables, crops, intr)["pose3d_abs"])
+        assert np.isfinite(outs["full"]).all() and np.isfinite(outs["weak"]).all()
+        assert np.abs(outs["full"] - outs["weak"]).max() > 1e-3  # distinct solvers
