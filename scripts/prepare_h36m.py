@@ -45,10 +45,7 @@ CAMERA_IDS = ("54138969", "55011271", "58860488", "60457274")
 
 
 def load_poses_cdf(path: str) -> np.ndarray:
-    """D3_Positions_mono CDF -> [F, 32, 3] millimeters (camera-frame mono
-    files are world-frame in the 'mono' variant's source camera? the
-    toolbox exports per-camera files whose coords are in the WORLD frame;
-    verify on first run against projections)."""
+    """H36M pose CDF -> [F, 32, 3] millimeters."""
     try:
         import cdflib
     except ImportError:
@@ -56,6 +53,22 @@ def load_poses_cdf(path: str) -> np.ndarray:
     cdf = cdflib.CDF(path)
     data = np.asarray(cdf.varget("Pose")).reshape(-1, 32, 3)
     return data.astype(np.float64)
+
+
+def world_poses_for(pose_dir_world: str, pose_dir_mono: str, action: str,
+                    cam_id: str, cam: dict) -> np.ndarray:
+    """World-frame [F, 32, 3] poses for one (action, camera).
+
+    Prefers `D3_Positions/<action>.cdf` (world frame, camera-independent).
+    Falls back to `D3_Positions_mono/<action>.<cam>.cdf`, which the toolbox
+    exports in the CAMERA frame — converted here via world = p_cam @ R + t
+    (R rows are camera axes, t the optical center; see geom/camera.py)."""
+    world_path = os.path.join(pose_dir_world, f"{action}.cdf")
+    if os.path.exists(world_path):
+        return load_poses_cdf(world_path)
+    mono_path = os.path.join(pose_dir_mono, f"{action}.{cam_id}.cdf")
+    poses_cam = load_poses_cdf(mono_path)
+    return poses_cam @ cam["R"] + cam["t"]
 
 
 def parse_cameras_xml(path: str) -> dict:
@@ -132,20 +145,33 @@ def main():
 
     for subj in TRAIN_SUBJECTS + TEST_SUBJECTS:
         sdir = os.path.join(root, f"S{subj}")
-        pose_dir = os.path.join(sdir, "MyPoseFeatures", "D3_Positions_mono")
+        pose_dir_mono = os.path.join(sdir, "MyPoseFeatures", "D3_Positions_mono")
+        pose_dir_world = os.path.join(sdir, "MyPoseFeatures", "D3_Positions")
         vid_dir = os.path.join(sdir, "Videos")
-        if not os.path.isdir(pose_dir):
-            print(f"skipping S{subj}: {pose_dir} missing")
+        if not os.path.isdir(pose_dir_mono) and not os.path.isdir(pose_dir_world):
+            print(f"skipping S{subj}: no D3_Positions under {sdir}")
             continue
         step = args.train_step if subj in TRAIN_SUBJECTS else args.test_step
-        for fname in sorted(os.listdir(pose_dir)):
+        listing = sorted(
+            os.listdir(pose_dir_mono) if os.path.isdir(pose_dir_mono) else []
+        )
+        if not listing and os.path.isdir(pose_dir_world):
+            # world-only release: iterate actions x all 4 cameras
+            listing = [
+                f"{f[:-4]}.{cam}.cdf"
+                for f in sorted(os.listdir(pose_dir_world)) if f.endswith(".cdf")
+                for cam in CAMERA_IDS
+            ]
+        for fname in listing:
             if not fname.endswith(".cdf"):
                 continue
             m = re.match(r"(.+)\.(\d+)\.cdf", fname)
             if not m:
                 continue
             action, cam_id = m.group(1), m.group(2)
-            poses = load_poses_cdf(os.path.join(pose_dir, fname))
+            cam = cameras[(subj, cam_id)]
+            poses = world_poses_for(pose_dir_world, pose_dir_mono, action,
+                                    cam_id, cam)
             video = os.path.join(vid_dir, f"{action}.{cam_id}.mp4")
             if not os.path.exists(video):
                 video = video[:-4] + ".avi"
@@ -154,7 +180,6 @@ def main():
                 continue
             out_rel = os.path.join("images", f"S{subj}", f"{action}.{cam_id}")
             extract_frames(video, os.path.join(root, out_rel), step)
-            cam = cameras[(subj, cam_id)]
             K = np.array([
                 [cam["f"][0], 0, cam["c"][0]],
                 [0, cam["f"][1], cam["c"][1]],
