@@ -45,4 +45,8 @@ def get_dataset(name: str, data_root: str = "/data", **kwargs) -> PoseDataset:
         from metro_pose3d_tpu.data.mpii import MpiiDataset
 
         return MpiiDataset(data_root, **kwargs)
+    if name == "3dpw":
+        from metro_pose3d_tpu.data.tdpw import Tdpw3Dataset
+
+        return Tdpw3Dataset(data_root, **kwargs)
     raise KeyError(f"unknown dataset {name!r}")

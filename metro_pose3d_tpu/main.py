@@ -6,6 +6,8 @@ Responsibility-parity with the reference's `./main.py` (SURVEY.md §2 L6):
       --train.logdir=/tmp/run1 --train.num_steps=400000
   python -m metro_pose3d_tpu.main --test --eval.pred_path=preds.npz ...
   python -m metro_pose3d_tpu.main --eval-h36m --eval.pred_path=preds.npz
+  python -m metro_pose3d_tpu.main --test-multiperson --data.dataset=3dpw ...
+  python -m metro_pose3d_tpu.main --eval-truncation --data.dataset=h36m ...
   python -m metro_pose3d_tpu.main --export=model_dir ...
 
 Config overrides use dotted flags (`--section.field=value`, see config.py);
@@ -73,6 +75,37 @@ def main(argv=None):
         from metro_pose3d_tpu.evaluation.eval_3dhp import main as eval_main
 
         eval_main(["--pred-path", cfg.eval.pred_path])
+        return 0
+
+    if "--eval-3dpw" in modes:
+        from metro_pose3d_tpu.evaluation.eval_3dpw import main as eval_main
+
+        eval_main(["--pred-path", cfg.eval.pred_path])
+        return 0
+
+    if "--test-multiperson" in modes:
+        # frame-wise multi-person prediction (BASELINE config 5, e.g. 3DPW)
+        from metro_pose3d_tpu.data import get_dataset
+        from metro_pose3d_tpu.evaluation.predict import (
+            predict_multiperson_dataset, save_predictions,
+        )
+
+        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        result = predict_multiperson_dataset(cfg, _load_variables(cfg), dataset)
+        path = cfg.eval.pred_path or f"{cfg.train.logdir}/predictions_mp.npz"
+        save_predictions(result, path)
+        print(f"saved multi-person predictions to {path}")
+        return 0
+
+    if "--eval-truncation" in modes:
+        import json
+
+        from metro_pose3d_tpu.data import get_dataset
+        from metro_pose3d_tpu.evaluation.truncation import evaluate_truncation
+
+        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        table = evaluate_truncation(cfg, _load_variables(cfg), dataset)
+        print(json.dumps(table, indent=2))
         return 0
 
     export = [a for a in rest if a.startswith("--export=")]
