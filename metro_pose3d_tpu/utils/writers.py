@@ -29,6 +29,7 @@ class MetricWriter:
     def write_scalars(self, step: int, scalars: dict):
         clean = {k: float(v) for k, v in scalars.items()}
         self._jsonl.write(json.dumps({"step": int(step), **clean}) + "\n")
+        self._jsonl.flush()  # keep tail -f / crash forensics live
         if self._tb is not None:
             self._tb.write_scalars(int(step), clean)
 
