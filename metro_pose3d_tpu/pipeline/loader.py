@@ -77,6 +77,7 @@ def batch_iterator(
     max_epochs: Optional[int] = None,
     box_expansion: float = 1.0,
     n_backgrounds: int = 0,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
     """Stream batched host-prepared examples, epoch after epoch.
 
@@ -104,6 +105,14 @@ def batch_iterator(
 
             for start in range(0, len(local), batch_size):
                 chunk = local[start : start + batch_size]
+                if skip_batches > 0 and len(chunk) == batch_size:
+                    # preemption-resume: consume the schedule without doing
+                    # the (expensive) per-example prep, so a resumed run
+                    # continues with the batches it has not yet trained on
+                    # (rngs are (seed, epoch, index)-keyed, so the skipped
+                    # batches are exactly the ones already consumed)
+                    skip_batches -= 1
+                    continue
                 if len(chunk) < batch_size:
                     if drop_remainder:
                         break

@@ -31,18 +31,20 @@ from metro_pose3d_tpu.train.state import create_train_state
 log = logging.getLogger("metro_tpu.train")
 
 
-def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0):
+def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0,
+                         skip_batches=0):
     """Yield host batches: `batch_size` 3D rows (+`batch_size_2d` remapped 2D
     rows when an auxiliary 2D dataset is configured). `n_backgrounds` > 0
     adds green-screen mask/params rows to EVERY batch (both sub-iterators
-    must agree on keys; maskless examples get a no-op all-foreground mask)."""
+    must agree on keys; maskless examples get a no-op all-foreground mask).
+    `skip_batches` fast-forwards the deterministic schedule on resume."""
     ji = dataset.joint_info
     it3d = batch_iterator(
         dataset.train_example, dataset.n_train, ji, cfg.train.batch_size,
         cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
         seed=cfg.train.seed, n_workers=cfg.data.workers,
         host_id=jax.process_index(), host_count=jax.process_count(),
-        n_backgrounds=n_backgrounds,
+        n_backgrounds=n_backgrounds, skip_batches=skip_batches,
     )
     if dataset2d is None or cfg.train.batch_size_2d == 0:
         yield from it3d
@@ -59,7 +61,7 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0):
             cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
             seed=cfg.train.seed + 1, n_workers=cfg.data.workers,
             host_id=jax.process_index(), host_count=jax.process_count(),
-            n_backgrounds=n_backgrounds,
+            n_backgrounds=n_backgrounds, skip_batches=skip_batches,
         )
         yield from it
 
@@ -126,6 +128,7 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     it = mixed_batch_iterator(
         cfg, dataset, dataset2d,
         n_backgrounds=len(bg_bank) if bg_bank is not None else 0,
+        skip_batches=start_step,  # preemption-resume: continue the schedule
     )
     from metro_pose3d_tpu.train.loop import make_lr_schedule
     from metro_pose3d_tpu.utils.writers import MetricWriter

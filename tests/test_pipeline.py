@@ -158,3 +158,23 @@ class TestBatchIterator:
         # 8 examples over 2 hosts, batch 2 -> 4 batches of 2 = 8 rows, all unique
         allrows = np.concatenate(seen).reshape(8, -1)
         assert len(np.unique(allrows.round(3), axis=0)) == 8
+
+
+class TestResumeSkip:
+    def test_skip_batches_continues_schedule(self):
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.pipeline.loader import batch_iterator
+
+        ds = SyntheticDataset(n_train=16, n_test=0)
+        kw = dict(
+            joint_info=ds.joint_info, batch_size=4, proc_side=64,
+            tile_side=128, aug_cfg=None, seed=7, shuffle=True,
+            n_workers=2, max_epochs=2,
+        )
+        full = list(batch_iterator(ds.train_example, 16, **kw))
+        skipped = list(batch_iterator(ds.train_example, 16, skip_batches=3, **kw))
+        assert len(skipped) == len(full) - 3
+        np.testing.assert_array_equal(
+            skipped[0]["coords3d_true"], full[3]["coords3d_true"])
+        np.testing.assert_array_equal(
+            skipped[-1]["source"], full[-1]["source"])
