@@ -83,6 +83,10 @@ class TrainConfig:
     warmup_steps: int = 1_000
     loss_2d_weight: float = C.LOSS_2D_WEIGHT
     absloss_weight: float = 0.0     # optional absolute-pose aux loss
+    grad_clip_norm: float = 1.0     # global-norm gradient clip (0 = off);
+                                    # framework default — an unclipped spike
+                                    # was observed to poison Adam state and
+                                    # permanently degrade a synthetic run
     seed: int = 0
     checkpoint_every: int = 2_000
     keep_checkpoints: int = 3

@@ -44,7 +44,10 @@ def make_lr_schedule(cfg: Config):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.adam(make_lr_schedule(cfg))
+    tx = optax.adam(make_lr_schedule(cfg))
+    if cfg.train.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx)
+    return tx
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
