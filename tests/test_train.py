@@ -2,6 +2,7 @@
 2D/3D batches with joint remapping, export round-trip."""
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
