@@ -13,10 +13,14 @@ import os
 import jax
 import numpy as np
 
+import logging
+
 from metro_pose3d_tpu.config import Config
 from metro_pose3d_tpu.evaluation.engine import make_predict_fn
 from metro_pose3d_tpu.parallel.mesh import shard_batch
 from metro_pose3d_tpu.pipeline.loader import batch_iterator
+
+log = logging.getLogger("metro_tpu.predict")
 
 
 def compute_mean_bones(dataset, n_examples: int = 512) -> np.ndarray:
@@ -67,7 +71,10 @@ def predict_dataset(
     )
     outs = {"pose3d_rootrel": [], "pose3d_abs": [], "pose2d_px": []}
     gts = {"gt3d_rootrel": [], "gt3d_abs": [], "valid": []}
-    for batch in it:
+    n_batches = -(-n // cfg.eval.batch_size)
+    for batch_i, batch in enumerate(it):
+        if batch_i % 20 == 0:
+            log.info("predict batch %d/%d", batch_i + 1, n_batches)
         pad = batch.pop("_pad")
         dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
         pred = jax.device_get(fn(variables, {k: v for k, v in dev_batch.items()}))

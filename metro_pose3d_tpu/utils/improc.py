@@ -103,6 +103,17 @@ def extract_tile_native(img: np.ndarray, x0, y0, x1, y1, factor, tile_side):
     return tile
 
 
+def white_balance(img: np.ndarray, strength: float = 1.0) -> np.ndarray:
+    """Gray-world white balance (the reference's host-side color-adjust
+    primitive). `strength` in [0, 1] interpolates toward full correction."""
+    img_f = img.astype(np.float32)
+    means = img_f.reshape(-1, img_f.shape[-1]).mean(0)
+    gray = means.mean()
+    gains = gray / np.maximum(means, 1e-6)
+    gains = 1.0 + (gains - 1.0) * strength
+    return np.clip(img_f * gains, 0, 255).astype(np.uint8)
+
+
 def resize_by_factor(img: np.ndarray, factor: float) -> np.ndarray:
     """Anti-aliased resize by a scale factor (area for shrink, linear for
     grow) — the reference's `improc.resize_by_factor` contract."""

@@ -107,3 +107,20 @@ class TestResize:
         assert small.shape == (32, 24, 3)
         big = improc.resize_by_factor(img, 2.0)
         assert big.shape == (128, 96, 3)
+
+
+class TestWhiteBalance:
+    def test_gray_world_correction(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 120, (64, 64, 3)).astype(np.uint8)
+        img[..., 2] = np.minimum(img[..., 2].astype(int) * 2, 255)  # blue cast
+        out = improc.white_balance(img)
+        means = out.reshape(-1, 3).mean(0)
+        assert means.std() < img.reshape(-1, 3).mean(0).std()
+        half = improc.white_balance(img, strength=0.5)
+        h_std = half.reshape(-1, 3).mean(0).std()
+        assert means.std() <= h_std <= img.reshape(-1, 3).mean(0).std() + 1e-6
+
+    def test_identity_on_gray(self):
+        img = np.full((8, 8, 3), 128, np.uint8)
+        np.testing.assert_array_equal(improc.white_balance(img), img)
