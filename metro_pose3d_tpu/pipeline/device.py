@@ -63,10 +63,15 @@ def device_augment(batch: dict, proc_side: int, occluder_bank=None,
     crops = crops * (1.0 / 255.0)
 
     if train and occluder_bank is not None:
+        from metro_pose3d_tpu.ops.occlusion import occlude_with_bank, pack_occluder_bank
+
         idx = batch["occ_params"][:, 1].astype(jnp.int32)
-        tiles = jnp.take(occluder_bank, idx, axis=0)
-        crops = occlude_with_tiles(
-            crops, tiles, batch["occ_affine"], batch["occ_params"][:, 0]
+        # pack+window the (constant) bank in-graph: cheap relative to the
+        # compositing gather it accelerates, and keeps the API unchanged
+        table = pack_occluder_bank(occluder_bank)
+        crops = occlude_with_bank(
+            crops, table, occluder_bank.shape[1], idx,
+            batch["occ_affine"], batch["occ_params"][:, 0],
         )
 
     if train:

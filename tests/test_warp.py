@@ -249,3 +249,38 @@ class TestPackedWarpEquivalence:
             np.asarray(warp_images_reference(src, h, k, d, s)),
             atol=1e-5,
         )
+
+
+class TestPackedOcclusionEquivalence:
+    def test_matches_reference_compositing(self):
+        import jax
+        from metro_pose3d_tpu.ops.occlusion import (
+            occlude_with_bank, occlude_with_tiles, pack_occluder_bank,
+        )
+        from metro_pose3d_tpu.pipeline.occluders import make_procedural_occluders
+
+        rng = np.random.default_rng(5)
+        b, s, t = 6, 32, 48
+        crops = jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)), jnp.float32)
+        bank = jnp.asarray(make_procedural_occluders(4, t), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 4, b), jnp.int32)
+        # random placements incl. partially/fully off-tile
+        affs = []
+        for i in range(b):
+            ang = rng.uniform(-3, 3)
+            sc = rng.uniform(0.5, 3.0)
+            c, sn = np.cos(ang) * sc, np.sin(ang) * sc
+            affs.append([[c, -sn, rng.uniform(-30, 60)],
+                         [sn, c, rng.uniform(-30, 60)]])
+        affs = jnp.asarray(np.array(affs), jnp.float32)
+        enabled = jnp.asarray([1, 1, 0, 1, 1, 1], jnp.float32)
+
+        tiles = jnp.take(bank, idx, axis=0)
+        ref = np.asarray(occlude_with_tiles(crops, tiles, affs, enabled))
+        table = pack_occluder_bank(bank)
+        fast = np.asarray(occlude_with_bank(crops, table, t, idx, affs, enabled))
+        # 8-bit quantization of the bank bounds the difference by ~1/255
+        # per channel times alpha weighting
+        np.testing.assert_allclose(fast, ref, atol=3.0 / 255.0)
+        # disabled crop untouched
+        np.testing.assert_array_equal(fast[2], np.asarray(crops[2]))
