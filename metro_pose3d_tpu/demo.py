@@ -80,14 +80,27 @@ def main(argv=None):
         cfg, variables, _ = load_exported(args.bundle)
         joint_info = H36M_17
     else:
-        import jax.numpy as jnp
+        import json
+        import os
 
-        from metro_pose3d_tpu.models.metro import MetroModel
         from metro_pose3d_tpu.train.checkpoint import Checkpointer
         from metro_pose3d_tpu.train.loop import make_optimizer
         from metro_pose3d_tpu.train.state import create_train_state
 
         cfg = Config()
+        cfg_json = os.path.join(args.logdir, "config.json") if args.logdir else ""
+        if cfg_json and os.path.exists(cfg_json):
+            # a training logdir stores its full config; rebuild the exact
+            # architecture the checkpoint was trained with
+            from metro_pose3d_tpu.config import apply_overrides
+
+            stored = json.load(open(cfg_json))
+            flat = {
+                f"{sec}.{name}": str(val)
+                for sec, fields in stored.items()
+                for name, val in fields.items()
+            }
+            cfg = apply_overrides(Config(), flat)
         joint_info = H36M_17
         state = create_train_state(cfg, make_optimizer(cfg))
         if args.logdir:
