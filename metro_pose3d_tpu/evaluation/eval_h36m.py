@@ -33,6 +33,12 @@ def evaluate(pred_path: str) -> dict:
     if "actions" in data:
         table, _ = per_group_table(per_example_mean, data["actions"])
         result["per_action_mpjpe"] = table
+    if "joint_names" in data:
+        per_joint = np.nanmean(per_example, axis=0)
+        result["per_joint_mpjpe"] = {
+            str(name): float(v)
+            for name, v in zip(data["joint_names"], per_joint)
+        }
     if "pose3d_abs" in data and "gt3d_abs" in data:
         result["abs_mpjpe"] = mpjpe(data["pose3d_abs"], data["gt3d_abs"], valid)
     return result

@@ -110,6 +110,7 @@ def predict_dataset(
     if hasattr(dataset, "test_group_label"):
         # deterministic unshuffled single-host pass -> row i is example i
         result["actions"] = np.array([dataset.test_group_label(i) for i in range(n)])
+    result["joint_names"] = np.array(ji.names)
     return result
 
 

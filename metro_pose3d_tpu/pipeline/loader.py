@@ -31,6 +31,38 @@ def stack_examples(prepared: Sequence[dict]) -> dict:
     return {k: np.stack([p[k] for p in prepared]) for k in keys}
 
 
+def prefetch(iterator: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+    """Run `iterator` in a background thread, keeping `depth` batches ready.
+
+    Overlaps host-side example preparation with the device step (the
+    reference gets this from tf.data's prefetch; here it is one daemon
+    thread and a bounded queue). Exceptions re-raise at the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def prepare_one(
     example: Example,
     joint_info: JointInfo,

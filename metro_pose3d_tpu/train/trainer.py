@@ -125,11 +125,13 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
                               background_bank=bg_bank)
 
     total = min(cfg.train.num_steps, max_steps or cfg.train.num_steps)
-    it = mixed_batch_iterator(
+    from metro_pose3d_tpu.pipeline.loader import prefetch
+
+    it = prefetch(mixed_batch_iterator(
         cfg, dataset, dataset2d,
         n_backgrounds=len(bg_bank) if bg_bank is not None else 0,
         skip_batches=start_step,  # preemption-resume: continue the schedule
-    )
+    ))
     from metro_pose3d_tpu.train.loop import make_lr_schedule
     from metro_pose3d_tpu.utils.writers import MetricWriter
 

@@ -178,3 +178,24 @@ class TestResumeSkip:
             skipped[0]["coords3d_true"], full[3]["coords3d_true"])
         np.testing.assert_array_equal(
             skipped[-1]["source"], full[-1]["source"])
+
+
+class TestPrefetch:
+    def test_order_and_completion(self):
+        from metro_pose3d_tpu.pipeline.loader import prefetch
+
+        out = list(prefetch(iter([{"i": np.array(i)} for i in range(7)]), depth=2))
+        assert [int(o["i"]) for o in out] == list(range(7))
+
+    def test_exception_propagates(self):
+        from metro_pose3d_tpu.pipeline.loader import prefetch
+
+        def gen():
+            yield {"a": np.zeros(1)}
+            raise RuntimeError("boom")
+
+        it = prefetch(gen(), depth=1)
+        next(it)
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="boom"):
+            next(it)
