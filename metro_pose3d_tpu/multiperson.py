@@ -47,9 +47,15 @@ def make_multiperson_predict_fn(
     flip_tta: bool | None = None,
     bone_edges: np.ndarray | None = None,
     mean_bones: np.ndarray | None = None,
+    frame_mode: bool = False,
 ):
     """Fused jit fn: (variables, batch) -> per-crop poses, rotated into the
-    original camera frame via the batch's `rot_to_orig`."""
+    original camera frame via the batch's `rot_to_orig`.
+
+    `frame_mode`: the batch carries one shared "frame" [H, W, 3] uint8 and
+    per-crop FRAME-coordinate warp params — the host ships the frame once
+    (2.7 MB at 720p) instead of one 786 KB source tile per person, and the
+    device warps all crops out of it (`ops.warp.warp_from_frame`)."""
     model = MetroModel(cfg.model)
     flip_tta = cfg.eval.flip_tta if flip_tta is None else flip_tta
     use_bones = (
@@ -63,7 +69,18 @@ def make_multiperson_predict_fn(
 
     @jax.jit
     def predict(variables, batch):
-        crops = device_augment(batch, cfg.model.proc_side, train=False)
+        if frame_mode:
+            from metro_pose3d_tpu.ops.color import normalize
+            from metro_pose3d_tpu.ops.warp import warp_from_frame
+
+            crops = normalize(
+                warp_from_frame(
+                    batch["frame"], batch["warp_h"], batch["warp_k"],
+                    batch["warp_dist"], cfg.model.proc_side,
+                ) / 255.0
+            )
+        else:
+            crops = device_augment(batch, cfg.model.proc_side, train=False)
         b = crops.shape[0]
         if flip_tta:
             both = jnp.concatenate([crops, flip_crop(crops)], axis=0)
@@ -103,19 +120,22 @@ class MultiPersonEstimator:
         joint_info: JointInfo,
         root_name: str = "pelv",
         buckets=DEFAULT_BUCKETS,
+        frame_mode: bool = True,
         **predict_kw,
     ):
         self.cfg = cfg
         self.variables = variables
         self.joint_info = joint_info
         self.buckets = tuple(sorted(buckets))
+        self.frame_mode = frame_mode
         root = (
             joint_info.names.index(root_name)
             if root_name in joint_info.names
             else 0
         )
         self._predict = make_multiperson_predict_fn(
-            cfg, joint_info.mirror_mapping, root_index=root, **predict_kw
+            cfg, joint_info.mirror_mapping, root_index=root,
+            frame_mode=frame_mode, **predict_kw
         )
 
     def _bucket(self, n: int) -> int:
@@ -148,13 +168,24 @@ class MultiPersonEstimator:
             ]
             return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
-        prepared = [
-            prepare_inference_crop(
-                image, box, camera, self.cfg.model.proc_side,
-                self.cfg.data.source_side, self.cfg.data.test_box_expansion,
-            )
-            for box in boxes
-        ]
+        if self.frame_mode:
+            from metro_pose3d_tpu.pipeline.crops import prepare_inference_crop_params
+
+            prepared = [
+                prepare_inference_crop_params(
+                    box, camera, self.cfg.model.proc_side,
+                    self.cfg.data.test_box_expansion,
+                )
+                for box in boxes
+            ]
+        else:
+            prepared = [
+                prepare_inference_crop(
+                    image, box, camera, self.cfg.model.proc_side,
+                    self.cfg.data.source_side, self.cfg.data.test_box_expansion,
+                )
+                for box in boxes
+            ]
         crop_cams = [p.pop("_crop_cam") for p in prepared]
         bucket = self._bucket(n)
         prepared += [prepared[-1]] * (bucket - n)
@@ -162,6 +193,9 @@ class MultiPersonEstimator:
             k: jnp.asarray(np.stack([p[k] for p in prepared]))
             for k in prepared[0]
         }
+        if self.frame_mode:
+            frame = np.ascontiguousarray(image[:, : image.shape[1] // 2 * 2])
+            batch["frame"] = jnp.asarray(frame)
         out = jax.tree.map(lambda t: np.asarray(t[:n]), self._predict(self.variables, batch))
 
         # 2D joints back in full-image pixels (through each crop homography)

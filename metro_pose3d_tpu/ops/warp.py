@@ -124,7 +124,8 @@ def warp_images_reference(sources, h_mats, k_vecs, dists, out_side: int):
 
 
 @functools.partial(jax.jit, static_argnames=("out_side",))
-def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
+def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int,
+                        source_indices=None):
     """Gather-engine-shaped warp for uint8 RGB tiles.
 
     Measured on the axon v5e: XLA `take` here is per-index-bound
@@ -138,28 +139,32 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
     naive form's 4 per-crop gathers of 3-value rows. 3.4x faster at
     [256,512,512,3]u8 -> 256^2 crops (1160 -> 337 ms).
     """
-    b, t, tw, _ = sources_u8.shape
+    nsrc, th, tw, _ = sources_u8.shape
+    b = h_mats.shape[0]
     s = out_side
-    assert t == tw, "square source tiles expected"
+    # `source_indices` maps each crop to its source image; by default crop i
+    # samples source i (the tile pipeline). Multi-person "frame mode" passes
+    # ONE shared frame with all-zero indices, so the frame ships to the
+    # device once instead of one tile per person.
 
     # ---- packed, windowed source table ------------------------------------
     s32 = sources_u8.astype(jnp.int32)
-    packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [B,T,T]
+    packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [N,TH,TW]
     padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 2)))  # y+1 tap, x window
-    nwin = t // 2
+    nwin = tw // 2
     win = jnp.stack(
         [
-            padded[:, :, 0 : t : 2],
-            padded[:, :, 1 : t + 1 : 2],
-            padded[:, :, 2 : t + 2 : 2],
+            padded[:, :, 0 : tw : 2],
+            padded[:, :, 1 : tw + 1 : 2],
+            padded[:, :, 2 : tw + 2 : 2],
         ],
         axis=-1,
-    )  # [B, T+1, T//2, 3]: window k of row y covers x = 2k .. 2k+2
+    )  # [N, TH+1, TW//2, 3]: window k of row y covers x = 2k .. 2k+2
     # vertical pairing: table row (y, k) = the full 2x3 bilinear window
     # covering source rows y..y+1, columns 2k..2k+2 -> ONE take per output
     # pixel (index count is the bottleneck: ~80-130M idx/s on this platform)
-    win6 = jnp.concatenate([win[:, :-1], win[:, 1:]], axis=-1)  # [B,T,nwin,6]
-    flat = win6.reshape(b * t * nwin, 6)
+    win6 = jnp.concatenate([win[:, :-1], win[:, 1:]], axis=-1)  # [N,TH,nwin,6]
+    flat = win6.reshape(nsrc * th * nwin, 6)
 
     # ---- per-crop sample coordinates --------------------------------------
     coords, in_front = jax.vmap(
@@ -178,16 +183,20 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
     # x0 >= 0 -> window k = x0//2 holds x0 at position p = x0 - 2k in {0,1}
     # and x0+1 at p+1; x0 == -1 -> only the RIGHT tap (x=0) is in range, so
     # use window 0 with p = -1 (left slot masked out by x_in0 below).
-    xeff = jnp.clip(x0i, -1, t - 1)
+    xeff = jnp.clip(x0i, -1, tw - 1)
     kwin = jnp.maximum(xeff, 0) >> 1
     p = xeff - 2 * kwin  # in {-1, 0, 1}
-    base = (jnp.arange(b, dtype=jnp.int32) * t)[:, None, None]
+    if source_indices is None:
+        src_idx = jnp.arange(b, dtype=jnp.int32)
+    else:
+        src_idx = source_indices.astype(jnp.int32)
+    base = (src_idx * th)[:, None, None]
 
     # One take fetches the whole 2x3 window for rows y0..y0+1. Same 3-state
     # treatment vertically as horizontally: for y0 == -1 the window anchors
     # at row 0 and the y0+1 tap reads the window's FIRST row (the y0 tap is
     # out of range and masked); row t is the zero pad row, masked likewise.
-    yeff = jnp.clip(y0i, -1, t - 1)
+    yeff = jnp.clip(y0i, -1, th - 1)
     yc = jnp.maximum(yeff, 0)
     qtop = yeff < yc  # True only when y0 == -1
     lin = ((base + yc) * nwin + kwin).reshape(-1)
@@ -210,10 +219,10 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int):
         ).astype(jnp.float32)
 
     # ---- per-tap validity (identical to bilinear_sample's border policy) --
-    x_in0 = (x0i >= 0) & (x0i < t)
-    x_in1 = (x0i + 1 >= 0) & (x0i + 1 < t)
-    y_in0 = (y0i >= 0) & (y0i < t)
-    y_in1 = (y0i + 1 >= 0) & (y0i + 1 < t)
+    x_in0 = (x0i >= 0) & (x0i < tw)
+    x_in1 = (x0i + 1 >= 0) & (x0i + 1 < tw)
+    y_in0 = (y0i >= 0) & (y0i < th)
+    y_in1 = (y0i + 1 >= 0) & (y0i + 1 < th)
 
     w00 = ((1 - fx) * (1 - fy))[..., None]
     w01 = (fx * (1 - fy))[..., None]
@@ -237,6 +246,24 @@ def warp_images(sources, h_mats, k_vecs, dists, out_side: int):
     formulation. Values keep the source scale ([0,255] for uint8 inputs) —
     normalization happens in the augmentation pipeline.
     """
-    if sources.dtype == jnp.uint8 and sources.shape[-1] == 3 and sources.shape[1] % 2 == 0:
+    if (
+        sources.dtype == jnp.uint8
+        and sources.shape[-1] == 3
+        and sources.shape[2] % 2 == 0
+    ):
         return _warp_images_packed(sources, h_mats, k_vecs, dists, out_side)
     return warp_images_reference(sources, h_mats, k_vecs, dists, out_side)
+
+
+def warp_from_frame(frame_u8, h_mats, k_vecs, dists, out_side: int):
+    """Warp MANY crops out of ONE shared full frame ("frame mode").
+
+    frame_u8 [H, W, 3] uint8 (W even); per-crop params in FRAME pixel
+    coordinates (no tile rebasing). Used by the multi-person driver so the
+    host ships one frame instead of one source tile per person.
+    """
+    b = h_mats.shape[0]
+    return _warp_images_packed(
+        frame_u8[None], h_mats, k_vecs, dists, out_side,
+        source_indices=jnp.zeros((b,), jnp.int32),
+    )

@@ -183,6 +183,27 @@ def rebase_warp_params(params: dict, offset: np.ndarray, factor: float) -> dict:
     return {"H": params["H"], "K": k, "dist": params["dist"]}
 
 
+def prepare_inference_crop_params(
+    bbox,
+    camera: Camera,
+    proc_side: int,
+    box_expansion: float = 1.0,
+) -> dict:
+    """Host prep for one detector box in FRAME MODE: warp parameters in
+    full-frame pixel coordinates (no source-tile extraction — the device
+    samples the shared frame directly via `ops.warp.warp_from_frame`)."""
+    crop_cam = make_crop_camera(camera, bbox, proc_side, box_expansion)
+    params = get_warp_params(camera, crop_cam)
+    return {
+        "warp_h": params["H"].astype(np.float32),
+        "warp_k": params["K"].astype(np.float32),
+        "warp_dist": params["dist"].astype(np.float32),
+        "intrinsics": crop_cam.K.astype(np.float32),
+        "rot_to_orig": (camera.R @ crop_cam.R.T).astype(np.float32),
+        "_crop_cam": crop_cam,
+    }
+
+
 def prepare_inference_crop(
     image: np.ndarray,
     bbox,

@@ -212,3 +212,48 @@ class TestSmplJointInfo:
         assert m[SMPL_24.index_of("rkne")] == SMPL_24.index_of("lkne")
         assert m[SMPL_24.index_of("pelv")] == SMPL_24.index_of("pelv")
         assert np.array_equal(m[m], np.arange(24))
+
+
+class TestFrameMode:
+    def test_frame_mode_matches_tile_mode(self):
+        """Frame-mode warps the shared original frame; with undecimated
+        tiles (factor 1) the two paths sample identical pixels."""
+        from metro_pose3d_tpu.models.metro import MetroModel
+        from metro_pose3d_tpu.multiperson import MultiPersonEstimator
+
+        # source_side must cover the whole ROI so the tile path runs at
+        # factor 1 (no area decimation) — otherwise frame mode legitimately
+        # differs (it always samples the full-resolution frame)
+        cfg = apply_overrides(tiny_cfg(), {"data.source_side": "512"})
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3),
+                      jnp.float32), train=False)
+        image, boxes, cam, _ = make_multiperson_frame(2, seed=9)
+        est_frame = MultiPersonEstimator(cfg, variables, H36M_17,
+                                         buckets=(4,), frame_mode=True)
+        est_tiles = MultiPersonEstimator(cfg, variables, H36M_17,
+                                         buckets=(4,), frame_mode=False)
+        a = est_frame.estimate_frame(image, boxes, cam)
+        b = est_tiles.estimate_frame(image, boxes, cam)
+        np.testing.assert_allclose(
+            a["pose3d_rootrel"], b["pose3d_rootrel"], atol=0.5)  # mm
+        np.testing.assert_allclose(a["pose2d_px"], b["pose2d_px"], atol=0.1)
+
+    def test_odd_width_frame(self):
+        from metro_pose3d_tpu.models.metro import MetroModel
+        from metro_pose3d_tpu.multiperson import MultiPersonEstimator
+
+        cfg = tiny_cfg()
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3),
+                      jnp.float32), train=False)
+        image, boxes, cam, _ = make_multiperson_frame(1, seed=10,
+                                                      imshape=(480, 641))
+        est = MultiPersonEstimator(cfg, variables, H36M_17, buckets=(2,))
+        out = est.estimate_frame(image, boxes, cam)
+        assert out["pose3d_abs"].shape == (1, 17, 3)
+        assert np.isfinite(out["pose3d_abs"]).all()
