@@ -60,18 +60,13 @@ def pack_occluder_bank(bank_rgba01: jnp.ndarray) -> jnp.ndarray:
     vertically paired), so compositing costs ONE flat `take` per crop pixel.
     Returns [N * T * (T//2), 6] int32; requires even T.
     """
+    from metro_pose3d_tpu.ops.packed_gather import build_windowed_table
+
     n, t, tw, _ = bank_rgba01.shape
     assert t == tw and t % 2 == 0, f"even square occluder tiles required, got {bank_rgba01.shape}"
     u8 = jnp.clip(jnp.round(bank_rgba01 * 255.0), 0, 255).astype(jnp.int32)
     packed = u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16) | (u8[..., 3] << 24)
-    padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 2)))
-    nwin = t // 2
-    win = jnp.stack(
-        [padded[:, :, 0:t:2], padded[:, :, 1 : t + 1 : 2], padded[:, :, 2 : t + 2 : 2]],
-        axis=-1,
-    )  # [N, T+1, nwin, 3]
-    win6 = jnp.concatenate([win[:, :-1], win[:, 1:]], axis=-1)  # [N, T, nwin, 6]
-    return win6.reshape(n * t * nwin, 6)
+    return build_windowed_table(packed)
 
 
 def occlude_with_bank(crops, packed_table, tile_side, tile_indices, placements,
@@ -84,7 +79,6 @@ def occlude_with_bank(crops, packed_table, tile_side, tile_indices, placements,
     """
     b, s, _, _ = crops.shape
     t = tile_side
-    nwin = t // 2
 
     ys = jnp.arange(s, dtype=jnp.float32)
     xs = jnp.arange(s, dtype=jnp.float32)
@@ -99,25 +93,12 @@ def occlude_with_bank(crops, packed_table, tile_side, tile_indices, placements,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    xeff = jnp.clip(x0i, -1, t - 1)
-    kwin = jnp.maximum(xeff, 0) >> 1
-    p = xeff - 2 * kwin
-    yeff = jnp.clip(y0i, -1, t - 1)
-    yc = jnp.maximum(yeff, 0)
-    qtop = yeff < yc
+    from metro_pose3d_tpu.ops.packed_gather import (
+        bilinear_weights, gather_bilinear_taps, tap_masks,
+    )
+
     base = (tile_indices.astype(jnp.int32) * t)[:, None, None]
-    lin = ((base + yc) * nwin + kwin).reshape(-1)
-    rows = jnp.take(packed_table, lin, axis=0).reshape(b, s, s, 6)
-
-    def pick(r0, r1, r2):
-        left = jnp.where(p <= 0, r0, r1)
-        right = jnp.where(p < 0, r0, jnp.where(p == 0, r1, r2))
-        return left, right
-
-    a_l, a_r = pick(rows[..., 0], rows[..., 1], rows[..., 2])
-    b_l, b_r = pick(rows[..., 3], rows[..., 4], rows[..., 5])
-    b_l = jnp.where(qtop, a_l, b_l)
-    b_r = jnp.where(qtop, a_r, b_r)
+    a_l, a_r, b_l, b_r = gather_bilinear_taps(packed_table, base, x0i, y0i, t, t)
 
     def unpack(px):
         return jnp.stack(
@@ -126,20 +107,14 @@ def occlude_with_bank(crops, packed_table, tile_side, tile_indices, placements,
             axis=-1,
         ).astype(jnp.float32) / 255.0
 
-    x_in0 = (x0i >= 0) & (x0i < t)
-    x_in1 = (x0i + 1 >= 0) & (x0i + 1 < t)
-    y_in0 = (y0i >= 0) & (y0i < t)
-    y_in1 = (y0i + 1 >= 0) & (y0i + 1 < t)
-    w00 = ((1 - fx) * (1 - fy))[..., None]
-    w01 = (fx * (1 - fy))[..., None]
-    w10 = ((1 - fx) * fy)[..., None]
-    w11 = (fx * fy)[..., None]
+    m00, m01, m10, m11 = tap_masks(x0i, y0i, t, t)
+    w00, w01, w10, w11 = bilinear_weights(fx, fy)
     zero = jnp.zeros((), jnp.float32)
     rgba = (
-        w00 * jnp.where((x_in0 & y_in0)[..., None], unpack(a_l), zero)
-        + w01 * jnp.where((x_in1 & y_in0)[..., None], unpack(a_r), zero)
-        + w10 * jnp.where((x_in0 & y_in1)[..., None], unpack(b_l), zero)
-        + w11 * jnp.where((x_in1 & y_in1)[..., None], unpack(b_r), zero)
+        w00 * jnp.where(m00[..., None], unpack(a_l), zero)
+        + w01 * jnp.where(m01[..., None], unpack(a_r), zero)
+        + w10 * jnp.where(m10[..., None], unpack(b_l), zero)
+        + w11 * jnp.where(m11[..., None], unpack(b_r), zero)
     )
     rgba = rgba * enabled.astype(jnp.float32)[:, None, None, None]
     return paste_rgba(crops, rgba)

@@ -147,24 +147,14 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int,
     # ONE shared frame with all-zero indices, so the frame ships to the
     # device once instead of one tile per person.
 
-    # ---- packed, windowed source table ------------------------------------
+    # ---- packed, windowed source table (see ops/packed_gather.py) ---------
+    from metro_pose3d_tpu.ops.packed_gather import (
+        bilinear_weights, build_windowed_table, gather_bilinear_taps, tap_masks,
+    )
+
     s32 = sources_u8.astype(jnp.int32)
     packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [N,TH,TW]
-    padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 2)))  # y+1 tap, x window
-    nwin = tw // 2
-    win = jnp.stack(
-        [
-            padded[:, :, 0 : tw : 2],
-            padded[:, :, 1 : tw + 1 : 2],
-            padded[:, :, 2 : tw + 2 : 2],
-        ],
-        axis=-1,
-    )  # [N, TH+1, TW//2, 3]: window k of row y covers x = 2k .. 2k+2
-    # vertical pairing: table row (y, k) = the full 2x3 bilinear window
-    # covering source rows y..y+1, columns 2k..2k+2 -> ONE take per output
-    # pixel (index count is the bottleneck: ~80-130M idx/s on this platform)
-    win6 = jnp.concatenate([win[:, :-1], win[:, 1:]], axis=-1)  # [N,TH,nwin,6]
-    flat = win6.reshape(nsrc * th * nwin, 6)
+    flat = build_windowed_table(packed)
 
     # ---- per-crop sample coordinates --------------------------------------
     coords, in_front = jax.vmap(
@@ -179,61 +169,27 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # Window selection must cover BOTH taps x0 and x0+1 for any x0 >= -1:
-    # x0 >= 0 -> window k = x0//2 holds x0 at position p = x0 - 2k in {0,1}
-    # and x0+1 at p+1; x0 == -1 -> only the RIGHT tap (x=0) is in range, so
-    # use window 0 with p = -1 (left slot masked out by x_in0 below).
-    xeff = jnp.clip(x0i, -1, tw - 1)
-    kwin = jnp.maximum(xeff, 0) >> 1
-    p = xeff - 2 * kwin  # in {-1, 0, 1}
     if source_indices is None:
         src_idx = jnp.arange(b, dtype=jnp.int32)
     else:
         src_idx = source_indices.astype(jnp.int32)
     base = (src_idx * th)[:, None, None]
-
-    # One take fetches the whole 2x3 window for rows y0..y0+1. Same 3-state
-    # treatment vertically as horizontally: for y0 == -1 the window anchors
-    # at row 0 and the y0+1 tap reads the window's FIRST row (the y0 tap is
-    # out of range and masked); row t is the zero pad row, masked likewise.
-    yeff = jnp.clip(y0i, -1, th - 1)
-    yc = jnp.maximum(yeff, 0)
-    qtop = yeff < yc  # True only when y0 == -1
-    lin = ((base + yc) * nwin + kwin).reshape(-1)
-    rows = jnp.take(flat, lin, axis=0).reshape(b, s, s, 6)
-
-    def pick(r0, r1, r2):
-        left = jnp.where(p <= 0, r0, r1)
-        right = jnp.where(p < 0, r0, jnp.where(p == 0, r1, r2))
-        return left, right
-
-    a_l, a_r = pick(rows[..., 0], rows[..., 1], rows[..., 2])  # window row 0
-    b_l, b_r = pick(rows[..., 3], rows[..., 4], rows[..., 5])  # window row 1
-    # y0 == -1: the (valid) y0+1 tap is window row 0, not row 1
-    b_l = jnp.where(qtop, a_l, b_l)
-    b_r = jnp.where(qtop, a_r, b_r)
+    a_l, a_r, b_l, b_r = gather_bilinear_taps(flat, base, x0i, y0i, th, tw)
 
     def unpack(px):
         return jnp.stack(
             [(px & 0xFF), ((px >> 8) & 0xFF), ((px >> 16) & 0xFF)], axis=-1
         ).astype(jnp.float32)
 
-    # ---- per-tap validity (identical to bilinear_sample's border policy) --
-    x_in0 = (x0i >= 0) & (x0i < tw)
-    x_in1 = (x0i + 1 >= 0) & (x0i + 1 < tw)
-    y_in0 = (y0i >= 0) & (y0i < th)
-    y_in1 = (y0i + 1 >= 0) & (y0i + 1 < th)
-
-    w00 = ((1 - fx) * (1 - fy))[..., None]
-    w01 = (fx * (1 - fy))[..., None]
-    w10 = ((1 - fx) * fy)[..., None]
-    w11 = (fx * fy)[..., None]
+    # per-tap validity identical to bilinear_sample's zero-border policy
+    m00, m01, m10, m11 = tap_masks(x0i, y0i, th, tw)
+    w00, w01, w10, w11 = bilinear_weights(fx, fy)
     zero = jnp.zeros((), jnp.float32)
     out = (
-        w00 * jnp.where((x_in0 & y_in0)[..., None], unpack(a_l), zero)
-        + w01 * jnp.where((x_in1 & y_in0)[..., None], unpack(a_r), zero)
-        + w10 * jnp.where((x_in0 & y_in1)[..., None], unpack(b_l), zero)
-        + w11 * jnp.where((x_in1 & y_in1)[..., None], unpack(b_r), zero)
+        w00 * jnp.where(m00[..., None], unpack(a_l), zero)
+        + w01 * jnp.where(m01[..., None], unpack(a_r), zero)
+        + w10 * jnp.where(m10[..., None], unpack(b_l), zero)
+        + w11 * jnp.where(m11[..., None], unpack(b_r), zero)
     )
     return jnp.where(in_front[..., None], out, zero)
 
