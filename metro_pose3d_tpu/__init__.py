@@ -21,3 +21,28 @@ data      : dataset registry and builders (H36M, MPI-INF-3DHP, MPII, synthetic)
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import time).
+
+    >>> import metro_pose3d_tpu as mp
+    >>> est = mp.MultiPersonEstimator(cfg, variables, joint_info)
+    """
+    lazy = {
+        "Config": ("metro_pose3d_tpu.config", "Config"),
+        "apply_overrides": ("metro_pose3d_tpu.config", "apply_overrides"),
+        "PoseEstimator": ("metro_pose3d_tpu.evaluation.engine", "PoseEstimator"),
+        "MultiPersonEstimator": ("metro_pose3d_tpu.multiperson", "MultiPersonEstimator"),
+        "get_dataset": ("metro_pose3d_tpu.data", "get_dataset"),
+        "get_joint_info": ("metro_pose3d_tpu.geom.joints", "get_joint_info"),
+        "load_exported": ("metro_pose3d_tpu.export", "load_exported"),
+        "export_model": ("metro_pose3d_tpu.export", "export_model"),
+        "train": ("metro_pose3d_tpu.train.trainer", "train"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'metro_pose3d_tpu' has no attribute {name!r}")
