@@ -170,6 +170,8 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
             log.info("step %d validation MPJPE %.2f mm", step_i + 1, val)
             writer.write_scalars(step_i + 1, {"val_mpjpe": val})
             history.append({"step": step_i + 1, "val_mpjpe": val})
+            if ckpt.save_if_best(step_i + 1, jax.device_get(state), val):
+                log.info("step %d new best checkpoint (%.2f mm)", step_i + 1, val)
 
     ckpt.wait()
     writer.close()

@@ -2,6 +2,7 @@
 2D/3D batches with joint remapping, export round-trip."""
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -175,3 +176,36 @@ class TestGradClip:
         tx = make_optimizer(cfg)  # plain adam chain
         params = {"w": jnp.ones(2)}
         tx.init(params)  # constructs fine
+
+
+class TestBestCheckpoint:
+    def test_best_tracking_and_restore(self, tmp_path):
+        import optax
+
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.train.checkpoint import Checkpointer
+        from metro_pose3d_tpu.train.loop import make_optimizer
+        from metro_pose3d_tpu.train.state import create_train_state
+
+        cfg = apply_overrides(Config(), {
+            "model.backbone": "tiny", "model.proc_side": "64",
+            "model.depth": "4", "model.compute_dtype": "float32",
+        })
+        tx = make_optimizer(cfg)
+        state = create_train_state(cfg, tx)
+        ckpt = Checkpointer(str(tmp_path))
+
+        s1 = state.replace(step=jnp.asarray(1))
+        s2 = state.replace(step=jnp.asarray(2))
+        s3 = state.replace(step=jnp.asarray(3))
+        assert ckpt.save_if_best(1, jax.device_get(s1), 200.0)
+        assert ckpt.save_if_best(2, jax.device_get(s2), 150.0)   # improves
+        assert not ckpt.save_if_best(3, jax.device_get(s3), 480.0)  # spike
+
+        # a fresh Checkpointer (new process) restores the BEST, not latest
+        ckpt2 = Checkpointer(str(tmp_path))
+        restored, step = ckpt2.restore_best(state)
+        assert step == 2 and int(restored.step) == 2
+        # and remembers the metric across restarts
+        assert not ckpt2.save_if_best(4, jax.device_get(s3), 160.0)
+        assert ckpt2.save_if_best(5, jax.device_get(s3), 140.0)
