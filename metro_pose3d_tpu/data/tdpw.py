@@ -39,7 +39,9 @@ def _load_sequence(path: str) -> dict:
         return pickle.load(f, encoding="latin1")
 
 
-def _camera_from_pose(cam_pose: np.ndarray, intrinsics: np.ndarray) -> Camera:
+def _camera_from_pose(
+    cam_pose: np.ndarray, intrinsics: np.ndarray, world_up=(0.0, -1.0, 0.0)
+) -> Camera:
     """4x4 world->cam extrinsic + K -> Camera (R, optical center in world)."""
     rc = cam_pose[:3, :3]
     tc = cam_pose[:3, 3]
@@ -47,8 +49,31 @@ def _camera_from_pose(cam_pose: np.ndarray, intrinsics: np.ndarray) -> Camera:
         intrinsic_matrix=intrinsics,
         rot_world_to_cam=rc,
         optical_center=-rc.T @ tc * 1000.0,  # meters -> mm
-        world_up=(0.0, -1.0, 0.0),  # 3DPW world is y-up
+        world_up=world_up,
     )
+
+
+def _sequence_up(world_joints) -> np.ndarray:
+    """Derive the world 'up' direction from the skeletons themselves.
+
+    3DPW's world-frame convention cannot be verified here (no licensed data,
+    no egress), and the axis conventions reported in the wild disagree (the
+    release's world frame is close to the initial IMU/camera frame, which in
+    CV convention has y pointing DOWN; SMPL-canonical data is y-UP). A wrong
+    sign would roll every virtual crop camera 180 deg (upside-down crops), so
+    rather than trusting a constant, derive up as the mean pelvis->head
+    direction over all actors and frames of the sequence — people are upright
+    far more often than not over a whole sequence. Falls back to (0,-1,0)
+    (initial-camera-frame convention) for degenerate sequences.
+    """
+    head = SMPL_24.index_of("head")
+    pelv = SMPL_24.index_of("pelv")
+    vecs = np.concatenate([j[:, head] - j[:, pelv] for j in world_joints], axis=0)
+    up = vecs.mean(0)
+    norm = np.linalg.norm(up)
+    if norm < 1e-6:
+        return np.array([0.0, -1.0, 0.0])
+    return up / norm
 
 
 class Tdpw3Dataset:
@@ -82,6 +107,7 @@ class Tdpw3Dataset:
         cam_poses = cam_poses.copy()
         cam_poses[:, :3, 3] *= 1000.0  # translation meters -> mm
         intr = np.asarray(seq["cam_intrinsics"], np.float64)
+        world_up = _sequence_up(joints)
         n_frames = cam_poses.shape[0]
         for f in range(n_frames):
             actors = [a for a in range(len(joints)) if valid[a][f]]
@@ -96,6 +122,7 @@ class Tdpw3Dataset:
                 "intrinsics": intr,
                 "world": np.stack([joints[a][f] for a in actors]),
                 "actors": actors,
+                "world_up": world_up,
             }
             self._frames[split].append(rec)
             for k in range(len(actors)):
@@ -116,7 +143,7 @@ class Tdpw3Dataset:
         frame_idx, k = self._persons[split][i]
         rec = self._frames[split][frame_idx]
         img = improc.imread(rec["image"])
-        cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"])
+        cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"], rec["world_up"])
         world = rec["world"][k]
         px = cam.world_to_image(world)
         bbox = boxlib.expand(boxlib.bb_of_points(px), 1.15)
@@ -144,7 +171,7 @@ class Tdpw3Dataset:
 
         rec = self._frames["test"][i]
         img = improc.imread(rec["image"])
-        cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"])
+        cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"], rec["world_up"])
         boxes = np.stack(
             [
                 boxlib.expand(boxlib.bb_of_points(cam.world_to_image(w)), 1.15)

@@ -73,7 +73,9 @@ def composite_background(sources_u8, masks_u8, bg_bank_u8, bg_params):
     alpha = (masks_u8.astype(jnp.float32) / 255.0)[..., None]
     out = src * alpha + bg * (1.0 - alpha)
     out = src + enabled * (out - src)
-    return out.astype(jnp.uint8)
+    # round half-up like the host tile paths (C extension / numpy) — a bare
+    # uint8 cast truncates and biases the blend up to 1 LSB dark
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 
 
 def normalize(images01):

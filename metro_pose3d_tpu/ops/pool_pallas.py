@@ -188,7 +188,10 @@ def _fwd(x):
 
 
 def _bwd(x, g):
-    _, vjp = jax.vjp(_maxpool_reference, x)
+    # _maxpool_reference_odd matches SAME for both spatial parities; the
+    # even-only _maxpool_reference would raise a cotangent shape mismatch
+    # for odd inputs the reduce_window forward happily accepts (ADVICE r1)
+    _, vjp = jax.vjp(_maxpool_reference_odd, x)
     return vjp(g)
 
 

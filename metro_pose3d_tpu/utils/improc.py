@@ -84,7 +84,9 @@ def extract_tile_native(img: np.ndarray, x0, y0, x1, y1, factor, tile_side):
     img = np.ascontiguousarray(img, np.uint8)
     h, w = img.shape[:2]
     if nat is not None:
-        buf = nat.extract_tile(img.tobytes(), h, w, int(x0), int(y0),
+        # pass the contiguous ndarray directly: the extension's 'y*' arg
+        # format takes any C-contiguous buffer, so no tobytes() frame copy
+        buf = nat.extract_tile(img, h, w, int(x0), int(y0),
                                int(x1), int(y1), int(factor), int(tile_side))
         return np.frombuffer(buf, np.uint8).reshape(tile_side, tile_side, 3).copy()
     tile = np.zeros((tile_side, tile_side, 3), np.uint8)

@@ -129,12 +129,27 @@ class TestTdpwParser:
 
         rng = np.random.default_rng(0)
         n_frames, n_actors = 4, 2
-        # people ~3-4 m in front of a camera at the world origin (y-up world,
-        # camera looking +z after the extrinsic below)
+        # Upright people ~3-4 m in front of a camera at the world origin.
+        # Identity extrinsics -> world frame == camera frame (CV convention,
+        # y DOWN), so an upright person has head_y < pelvis_y in world. This
+        # gives the parser's skeleton-derived world_up something real to
+        # recover (an isotropic cloud cannot catch an orientation bug).
+        # SMPL_24 order: pelv lhip rhip spi1 lkne rkne spi2 lank rank spi3
+        #               lfoo rfoo neck lcla rcla head lsho rsho lelb relb
+        #               lwri rwri lhan rhan
+        up_offsets = np.array(  # meters above (+) / below (-) the pelvis
+            [0.0, -0.05, -0.05, 0.15, -0.45, -0.45, 0.3, -0.85, -0.85, 0.45,
+             -0.9, -0.9, 0.55, 0.5, 0.5, 0.7, 0.5, 0.5, 0.25, 0.25,
+             0.0, 0.0, -0.05, -0.05])
+        x_offsets = np.array(
+            [0.0, 0.1, -0.1, 0.0, 0.1, -0.1, 0.0, 0.1, -0.1, 0.0,
+             0.12, -0.12, 0.0, 0.08, -0.08, 0.0, 0.2, -0.2, 0.3, -0.3,
+             0.35, -0.35, 0.38, -0.38])
+        skel = np.stack([x_offsets, -up_offsets, np.zeros(24)], axis=-1)
         joints = []
         for a in range(n_actors):
             base = np.array([(a - 0.5) * 1.2, 0.0, 3.5])
-            jp = base + rng.normal(0, 0.25, (n_frames, 24, 3))
+            jp = base + skel + rng.normal(0, 0.03, (n_frames, 24, 3))
             joints.append(jp.reshape(n_frames, 72))
         cam_poses = np.tile(np.eye(4), (n_frames, 1, 1))
         intr = np.array([[800.0, 0, 400], [0, 800.0, 300], [0, 0, 1]])
@@ -170,6 +185,23 @@ class TestTdpwParser:
         assert 2000 < np.mean(np.linalg.norm(cam.world_to_camera(world[0]), axis=-1)) < 6000
         px = cam.world_to_image(world[0])
         assert np.all(px >= -200) and np.all(px[:, 0] < 1000)
+
+    def test_crop_orientation(self, fake_3dpw):
+        """Virtual crop cameras must keep people upright: the parser-derived
+        world_up has to put the head ABOVE the pelvis in crop pixels (a
+        sign-flipped up vector rolls every crop 180 deg — ADVICE r1)."""
+        from metro_pose3d_tpu.data.tdpw import Tdpw3Dataset
+        from metro_pose3d_tpu.pipeline.crops import prepare_example
+
+        ds = Tdpw3Dataset(fake_3dpw)
+        head = SMPL_24.index_of("head")
+        pelv = SMPL_24.index_of("pelv")
+        for i in range(ds.n_test):
+            ex = ds.test_example(i)
+            out = prepare_example(ex, SMPL_24, proc_side=64, tile_side=128)
+            c2d = out["coords2d_true"]
+            # pixel y grows downward: upright means head_y < pelvis_y
+            assert c2d[head, 1] < c2d[pelv, 1] - 5.0
 
     def test_person_protocol(self, fake_3dpw):
         from metro_pose3d_tpu.data.tdpw import Tdpw3Dataset

@@ -77,6 +77,23 @@ class TestGradient:
             rtol=1e-5,
         )
 
+    def test_grad_odd_spatial_dims(self):
+        """ADVICE r1: fwd (reduce_window SAME) accepts odd dims, so the
+        custom-vjp backward must too (it routes through the any-parity
+        shift-and-max now)."""
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 15, 15, 2))
+
+        def f(x):
+            return jnp.sum(max_pool_3x3_stride2_same(x) ** 2)
+
+        g = jax.grad(f)(x)
+        assert g.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(g)))
+        out = _rw_same(x)
+        np.testing.assert_allclose(
+            float(jnp.sum(g * x)), float(jnp.sum(2 * out**2)), rtol=1e-5
+        )
+
 
 def x_argmax_mask_free_check(x, g):
     # helper: g is nonzero only at window-max positions; g = sum over windows
