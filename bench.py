@@ -78,6 +78,8 @@ def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False):
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / TARGET, 4),
+                "p50_batch_latency_ms": round(p50_ms, 2),
+                "batch_size": batch_size,
             }
         )
     )
@@ -87,5 +89,6 @@ def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False):
 if __name__ == "__main__":
     import sys
 
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    main(batch_size=bs)
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    bs = int(pos[0]) if pos else 512
+    main(batch_size=bs, flip_tta="--flip-tta" in sys.argv)

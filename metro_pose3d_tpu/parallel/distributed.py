@@ -57,17 +57,21 @@ def make_global_batch(local_batch: dict, mesh) -> dict:
 
     Single-host: equivalent to `shard_batch`. Multi-host: each process
     passes ONLY its local rows; the result is a global array of
-    `local_rows * process_count` logical batch entries.
+    `local_rows * process_count` logical batch entries. Scalars (0-d) are
+    replicated — every process must pass the same value.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
     if jax.process_count() == 1:
         return {
-            k: jax.device_put(np.asarray(v), sharding)
+            k: jax.device_put(np.asarray(v), data if np.ndim(v) >= 1 else repl)
             for k, v in local_batch.items()
         }
     return {
-        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        k: jax.make_array_from_process_local_data(
+            data if np.ndim(v) >= 1 else repl, np.asarray(v)
+        )
         for k, v in local_batch.items()
     }

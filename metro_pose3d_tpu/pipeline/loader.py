@@ -110,6 +110,7 @@ def batch_iterator(
     box_expansion: float = 1.0,
     n_backgrounds: int = 0,
     skip_batches: int = 0,
+    n_occluders: int = 1,
 ) -> Iterator[dict]:
     """Stream batched host-prepared examples, epoch after epoch.
 
@@ -132,7 +133,8 @@ def batch_iterator(
                 ex = get_example(int(i))
                 return prepare_one(
                     ex, joint_info, proc_side, tile_side, aug_cfg,
-                    (seed, epoch, int(i)), 64, box_expansion, n_backgrounds,
+                    (seed, epoch, int(i)), n_occluders, box_expansion,
+                    n_backgrounds,
                 )
 
             for start in range(0, len(local), batch_size):

@@ -231,3 +231,26 @@ class TestTwoFivePredictPath:
             outs[mode] = np.asarray(fn(variables, crops, intr)["pose3d_abs"])
         assert np.isfinite(outs["full"]).all() and np.isfinite(outs["weak"]).all()
         assert np.abs(outs["full"] - outs["weak"]).max() > 1e-3  # distinct solvers
+
+
+class TestH36mActionCanonicalization:
+    def test_known_spelling_variants_merge(self):
+        from metro_pose3d_tpu.data.h36m import canonical_action
+
+        assert canonical_action("Walking 1") == "Walking"
+        assert canonical_action("Walking") == "Walking"
+        assert canonical_action("WalkDog") == "WalkingDog"
+        assert canonical_action("WalkingDog 2") == "WalkingDog"
+        assert canonical_action("TakingPhoto") == "Photo"
+        assert canonical_action("Photo 1") == "Photo"
+        assert canonical_action("WalkingTogether 1") == "WalkTogether"
+        assert canonical_action("WalkTogether") == "WalkTogether"
+        assert canonical_action("SittingDown 2") == "SittingDown"
+
+    def test_unknown_action_fails_loud(self):
+        import pytest
+
+        from metro_pose3d_tpu.data.h36m import canonical_action
+
+        with pytest.raises(ValueError, match="unknown H36M action"):
+            canonical_action("Moonwalking 1")

