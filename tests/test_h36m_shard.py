@@ -1,0 +1,165 @@
+"""End-to-end protocol rehearsal on a frozen synthetic H36M shard
+(VERDICT r1 missing #2; SURVEY.md §5.2): prepare-script layout on disk ->
+`data/h36m.py` builder -> loader -> fused predict with flip-TTA + bone-length
+rescale + absolute reconstruction -> .npz dump -> `eval_h36m` per-action
+table, with the resulting numbers pinned as goldens.
+
+Regenerate the golden intentionally with:
+    python tests/test_h36m_shard.py --regen
+(then inspect the diff before committing).
+"""
+import json
+import os
+import sys
+
+if __name__ == "__main__" and "--regen" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metro_pose3d_tpu.config import Config, apply_overrides
+
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(__file__), "golden", "h36m_shard_golden.json"
+)
+
+OVERRIDES = {
+    "model.backbone": "tiny",
+    "model.proc_side": "64",
+    "model.depth": "4",
+    "model.compute_dtype": "float32",
+    "data.source_side": "128",
+    "data.workers": "2",
+    "eval.batch_size": "8",
+    "eval.flip_tta": "true",
+    "eval.reconstruct_absolute": "true",
+    "eval.scale_recovery": "bone_lengths",
+}
+
+
+def _run_protocol(tmp_root: str) -> dict:
+    """Write the shard, run builder -> predict -> dump -> eval_h36m."""
+    from metro_pose3d_tpu.data.h36m import H36MDataset
+    from metro_pose3d_tpu.data.synth_shard import write_synthetic_h36m_shard
+    from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+    from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+    from metro_pose3d_tpu.models.metro import MetroModel
+
+    write_synthetic_h36m_shard(tmp_root)
+    cfg = apply_overrides(Config(), OVERRIDES)
+    ds = H36MDataset(tmp_root)
+    assert ds.n_train == 8 and ds.n_test == 20
+
+    model = MetroModel(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(42), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        train=False,
+    )
+    result = predict_dataset(cfg, variables, ds)
+    pred_path = os.path.join(tmp_root, "predictions.npz")
+    save_predictions(result, pred_path)
+    return evaluate(pred_path), result
+
+
+class TestProtocolRehearsal:
+    @pytest.fixture(scope="class")
+    def protocol(self, tmp_path_factory):
+        return _run_protocol(str(tmp_path_factory.mktemp("shard")))
+
+    def test_per_action_table_rows(self, protocol):
+        scores, _ = protocol
+        # the shard's deliberately variant spellings all merge to canonical
+        assert set(scores["per_action_mpjpe"]) == {
+            "Walking", "WalkingDog", "Greeting", "Photo", "WalkTogether"
+        }
+
+    def test_structural_sanity(self, protocol):
+        scores, result = protocol
+        assert result["pose3d_rootrel"].shape == (20, 17, 3)
+        assert result["pose3d_abs"].shape == (20, 17, 3)
+        assert np.isfinite(result["pose3d_abs"]).all()
+        # every test joint is valid in the synthetic scenes
+        assert result["valid"].all()
+        # PA-MPJPE <= MPJPE always holds after optimal alignment
+        assert scores["pa_mpjpe"] <= scores["mpjpe"] + 1e-6
+        # tiny random model: garbage accuracy, but bounded garbage (decode
+        # range is the metric box, so errors stay within ~2 box diagonals)
+        assert 10.0 < scores["mpjpe"] < 4000.0
+
+    @pytest.mark.skipif(not os.path.exists(GOLDEN_PATH), reason="no golden file")
+    def test_matches_golden(self, protocol):
+        scores, _ = protocol
+        with open(GOLDEN_PATH) as f:
+            golden = json.load(f)
+        assert set(scores["per_action_mpjpe"]) == set(golden["per_action_mpjpe"])
+        np.testing.assert_allclose(
+            scores["mpjpe"], golden["mpjpe"], rtol=1e-4,
+            err_msg="protocol MPJPE drift vs frozen-shard golden",
+        )
+        np.testing.assert_allclose(
+            scores["pa_mpjpe"], golden["pa_mpjpe"], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            scores["abs_mpjpe"], golden["abs_mpjpe"], rtol=1e-4
+        )
+        for action, val in golden["per_action_mpjpe"].items():
+            np.testing.assert_allclose(
+                scores["per_action_mpjpe"][action], val, rtol=1e-4,
+                err_msg=f"per-action drift: {action}",
+            )
+
+
+class TestShardDeterminism:
+    def test_shard_is_byte_stable(self, tmp_path):
+        """Two writes of the shard produce identical bytes — goldens pinned
+        on it are trustworthy."""
+        import hashlib
+
+        from metro_pose3d_tpu.data.synth_shard import write_synthetic_h36m_shard
+
+        def digest(root):
+            write_synthetic_h36m_shard(root, frames_per_sequence=2)
+            h = hashlib.sha256()
+            base = os.path.join(root, "h36m")
+            for dirpath, _, files in sorted(os.walk(base)):
+                for fname in sorted(files):
+                    rel = os.path.relpath(os.path.join(dirpath, fname), base)
+                    h.update(rel.encode())
+                    if fname.endswith(".jpg"):
+                        with open(os.path.join(dirpath, fname), "rb") as f:
+                            h.update(f.read())
+            # npz files embed timestamps; hash their arrays instead
+            ann = np.load(os.path.join(base, "annotations.npz"))
+            for key in sorted(ann.files):
+                h.update(key.encode())
+                h.update(np.ascontiguousarray(ann[key]).tobytes())
+            return h.hexdigest()
+
+        d1 = digest(str(tmp_path / "a"))
+        d2 = digest(str(tmp_path / "b"))
+        assert d1 == d2
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            scores, _ = _run_protocol(tmp)
+        scores = {
+            k: v for k, v in scores.items()
+            if k in ("mpjpe", "pa_mpjpe", "abs_mpjpe", "per_action_mpjpe")
+        }
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(scores, f, indent=2, sort_keys=True)
+        print(f"wrote {GOLDEN_PATH}:\n{json.dumps(scores, indent=2)}")
