@@ -38,6 +38,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
+    # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:
+    # train statistics per `bn_group_size` examples, for training-numerics
+    # parity with the reference's single-GPU batch (~64); see
+    # models/resnet.py GhostBatchNorm. Inference is unaffected.
+    bn_group_size: int = 0
 
     @property
     def heatmap_side(self) -> int:

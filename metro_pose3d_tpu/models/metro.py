@@ -48,6 +48,7 @@ class MetroModel(nn.Module):
             conv_padding=cfg.conv_padding,
             stride_position=cfg.stride_position,
             v2_biases=cfg.v2_biases,
+            bn_group_size=cfg.bn_group_size,
             name="backbone",
         )(crops, train)
 

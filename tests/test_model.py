@@ -334,3 +334,91 @@ class TestStridePosition:
         ol = np.asarray(net_l.apply(v, x, train=False))
         assert of.shape == ol.shape
         assert np.abs(of - ol).max() > 1e-4  # genuinely different functions
+
+
+class TestGhostBatchNorm:
+    """bn_group_size switch (VERDICT r1 missing #4): ghost-BN train statistics
+    per example group, global-BN-identical inference and checkpoint tree."""
+
+    def _apply(self, group_size, x, train=True):
+        from metro_pose3d_tpu.models.resnet import GhostBatchNorm
+
+        m = GhostBatchNorm(group_size=group_size, use_running_average=not train,
+                           dtype=jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out, updated = m.apply(variables, x, mutable=["batch_stats"])
+        return np.asarray(out), jax.device_get(updated["batch_stats"]), variables
+
+    def test_tree_matches_flax_batchnorm(self):
+        import flax.linen as nn
+        from metro_pose3d_tpu.models.resnet import GhostBatchNorm
+
+        x = jnp.ones((8, 4, 4, 3))
+        ghost = GhostBatchNorm(group_size=4, use_running_average=False).init(
+            jax.random.PRNGKey(0), x)
+        ref = nn.BatchNorm(use_running_average=False).init(
+            jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(ghost) == jax.tree.structure(ref)
+        assert all(
+            a.shape == b.shape
+            for a, b in zip(jax.tree.leaves(ghost), jax.tree.leaves(ref))
+        )
+
+    def test_group_stats_match_per_shard_batchnorm(self):
+        """Ghost BN with group_size = per-device batch reproduces running BN
+        independently on each 8-way shard (the reference's single-device
+        statistics regime)."""
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.normal(1.5, 2.0, (16, 4, 4, 3)), jnp.float32)
+        out, _, _ = self._apply(group_size=2, x=x)
+        for g in range(8):
+            sl = np.asarray(x[2 * g : 2 * g + 2])
+            mean = sl.mean(axis=(0, 1, 2))
+            var = sl.var(axis=(0, 1, 2))
+            expect = (sl - mean) / np.sqrt(var + 1e-5)
+            np.testing.assert_allclose(out[2 * g : 2 * g + 2], expect, atol=1e-5)
+
+    def test_full_group_equals_global_batchnorm(self):
+        import flax.linen as nn
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.normal(0.5, 3.0, (8, 4, 4, 3)), jnp.float32)
+        out, stats, _ = self._apply(group_size=8, x=x)
+        bn = nn.BatchNorm(use_running_average=False, dtype=jnp.float32)
+        vref = bn.init(jax.random.PRNGKey(0), x)
+        ref, ref_upd = bn.apply(vref, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+        ref_stats = jax.device_get(ref_upd["batch_stats"])
+        np.testing.assert_allclose(stats["mean"], ref_stats["mean"], atol=1e-6)
+        np.testing.assert_allclose(stats["var"], ref_stats["var"], atol=1e-5)
+
+    def test_running_stats_are_full_batch_regardless_of_groups(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.normal(0.0, 1.0, (16, 4, 4, 3)), jnp.float32)
+        _, s_small, _ = self._apply(group_size=2, x=x)
+        _, s_full, _ = self._apply(group_size=16, x=x)
+        np.testing.assert_allclose(s_small["mean"], s_full["mean"], atol=1e-6)
+        np.testing.assert_allclose(s_small["var"], s_full["var"], atol=1e-5)
+
+    def test_model_trains_with_ghost_bn_under_mesh(self):
+        """Full MetroModel fwd/bwd with ghost BN on the 8-device mesh."""
+        from metro_pose3d_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+        cfg = tiny_cfg(bn_group_size=2)
+        model = MetroModel(cfg)
+        mesh = make_mesh(8)
+        crops = jnp.asarray(
+            np.random.RandomState(0).normal(0, 1, (16, 64, 64, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), crops, train=False)
+
+        def loss_fn(params):
+            (l3d, l2d), upd = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                crops_s, train=True, mutable=["batch_stats"])
+            return jnp.mean(l3d**2) + jnp.mean(l2d**2)
+
+        crops_s = jax.device_put(crops, batch_sharding(mesh))
+        params = jax.device_put(variables["params"], replicated_sharding(mesh))
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
