@@ -63,6 +63,12 @@ class AugConfig:
     saturation_range: float = 0.25
     hue_max: float = 0.05           # fraction of a full hue revolution
     background_prob: float = 0.7    # 3DHP green-screen replacement
+    # on-device warp sampler for ALL crop extraction (train augment, eval
+    # from-tiles, multi-person frame mode): auto | twopass | packed |
+    # reference — see ops/warp.py::warp_images. "auto" = the Mosaic two-pass
+    # kernel on TPU (27x faster, <=1 LSB vs direct bilinear), exact direct
+    # gather elsewhere.
+    warp_sampler: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

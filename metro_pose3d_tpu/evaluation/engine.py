@@ -101,7 +101,10 @@ def make_predict_fn(
 
     if from_tiles:
         def predict(variables, batch):
-            crops = device_augment(batch, cfg.model.proc_side, train=False)
+            crops = device_augment(
+                batch, cfg.model.proc_side, train=False,
+                warp_sampler=cfg.aug.warp_sampler,
+            )
             return forward(variables, crops, batch["intrinsics"])
     else:
         def predict(variables, crops_uint8, intrinsics):

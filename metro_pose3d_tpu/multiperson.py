@@ -77,10 +77,14 @@ def make_multiperson_predict_fn(
                 warp_from_frame(
                     batch["frame"], batch["warp_h"], batch["warp_k"],
                     batch["warp_dist"], cfg.model.proc_side,
+                    sampler=cfg.aug.warp_sampler,
                 ) / 255.0
             )
         else:
-            crops = device_augment(batch, cfg.model.proc_side, train=False)
+            crops = device_augment(
+                batch, cfg.model.proc_side, train=False,
+                warp_sampler=cfg.aug.warp_sampler,
+            )
         b = crops.shape[0]
         if flip_tta:
             both = jnp.concatenate([crops, flip_crop(crops)], axis=0)

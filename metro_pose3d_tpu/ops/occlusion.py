@@ -69,6 +69,36 @@ def pack_occluder_bank(bank_rgba01: jnp.ndarray) -> jnp.ndarray:
     return build_windowed_table(packed)
 
 
+def pack_occluder_bank_raw(bank_rgba01: jnp.ndarray, pad_to: int = 128) -> jnp.ndarray:
+    """[N, T, T, 4] float RGBA in [0,1] -> [N, Tp, Tp] packed int32 planes.
+
+    Unwindowed variant feeding the Mosaic two-pass occluder kernel
+    (`warp_pallas.sample_occluders_twopass`); tiles zero-pad up to the
+    kernel's 128-lane granularity (invisible: the pad has alpha 0).
+    """
+    n, t, tw, _ = bank_rgba01.shape
+    assert t == tw, f"square occluder tiles required, got {bank_rgba01.shape}"
+    u8 = jnp.clip(jnp.round(bank_rgba01 * 255.0), 0, 255).astype(jnp.int32)
+    packed = u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16) | (u8[..., 3] << 24)
+    pad = (-t) % pad_to
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad), (0, pad)))
+    return packed
+
+
+def occlude_with_bank_twopass(crops, bank_packed_raw, tile_indices, placements,
+                              enabled):
+    """Two-pass-kernel variant of `occlude_with_bank` (same contract, with
+    the raw [N,Tp,Tp] packed bank from `pack_occluder_bank_raw`)."""
+    from metro_pose3d_tpu.ops.warp_pallas import sample_occluders_twopass
+
+    rgba = sample_occluders_twopass(
+        bank_packed_raw, tile_indices, placements, crops.shape[1]
+    )
+    rgba = rgba * enabled.astype(jnp.float32)[:, None, None, None]
+    return paste_rgba(crops, rgba)
+
+
 def occlude_with_bank(crops, packed_table, tile_side, tile_indices, placements,
                       enabled):
     """Composite occluders from the packed bank table (production path).

@@ -194,31 +194,83 @@ def _warp_images_packed(sources_u8, h_mats, k_vecs, dists, out_side: int,
     return jnp.where(in_front[..., None], out, zero)
 
 
-def warp_images(sources, h_mats, k_vecs, dists, out_side: int):
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001 — no backend at all
+        return False
+
+
+def _pad_for_kernel(sources):
+    """Zero-pad tile dims up to multiples of 128 (the Mosaic lane width).
+
+    Zero padding preserves the zero-border sampling policy exactly: taps in
+    the pad region read the same zeros the border mask would have produced.
+    """
+    _, th, tw, _ = sources.shape
+    ph = (-th) % 128
+    pw = (-tw) % 128
+    if ph or pw:
+        sources = jnp.pad(sources, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return sources
+
+
+def warp_images(sources, h_mats, k_vecs, dists, out_side: int,
+                sampler: str = "auto"):
     """Batched crop warp: [B,Hs,Ws,C] sources -> [B,S,S,C] float32 crops.
 
-    uint8 RGB sources take the packed/windowed gather path (see
-    `_warp_images_packed`); other dtypes/channel counts use the reference
-    formulation. Values keep the source scale ([0,255] for uint8 inputs) —
-    normalization happens in the augmentation pipeline.
+    sampler:
+      "auto"    — "twopass" on TPU for uint8 RGB with out_side % 128 == 0,
+                  else "packed" (uint8 RGB, even width), else "reference".
+      "twopass" — Mosaic two-pass kernel (`ops/warp_pallas.py`): 27x the
+                  packed path on v5e (274.8 -> 10.0 ms at bs256 512^2->256^2,
+                  scripts/exp_twopass_chip.py 2026-08-16); <= 1 LSB +
+                  sub-pixel two-pass geometry vs the direct map.
+      "packed"  — direct bilinear via the packed windowed HBM gather
+                  (`_warp_images_packed`), exact vs cv2; golden-path default
+                  off-TPU.
+      "reference" — naive vmapped formulation (float sources, any channels).
+    Values keep the source scale ([0,255] for uint8 inputs) — normalization
+    happens in the augmentation pipeline.
     """
-    if (
-        sources.dtype == jnp.uint8
-        and sources.shape[-1] == 3
-        and sources.shape[2] % 2 == 0
-    ):
+    u8rgb = sources.dtype == jnp.uint8 and sources.shape[-1] == 3
+    if sampler == "auto":
+        if u8rgb and out_side % 128 == 0 and _on_tpu():
+            sampler = "twopass"
+        elif u8rgb and sources.shape[2] % 2 == 0:
+            sampler = "packed"
+        else:
+            sampler = "reference"
+    if sampler == "twopass":
+        from metro_pose3d_tpu.ops.warp_pallas import warp_images_twopass_pallas
+
+        return warp_images_twopass_pallas(
+            _pad_for_kernel(sources), h_mats, k_vecs, dists, out_side
+        )
+    if sampler == "packed":
         return _warp_images_packed(sources, h_mats, k_vecs, dists, out_side)
     return warp_images_reference(sources, h_mats, k_vecs, dists, out_side)
 
 
-def warp_from_frame(frame_u8, h_mats, k_vecs, dists, out_side: int):
+def warp_from_frame(frame_u8, h_mats, k_vecs, dists, out_side: int,
+                    sampler: str = "auto"):
     """Warp MANY crops out of ONE shared full frame ("frame mode").
 
     frame_u8 [H, W, 3] uint8 (W even); per-crop params in FRAME pixel
     coordinates (no tile rebasing). Used by the multi-person driver so the
-    host ships one frame instead of one source tile per person.
+    host ships one frame instead of one source tile per person. The shared
+    frame maps to the two-pass kernel's nsrc == 1 broadcast (every grid
+    step reads tile 0), so frame mode gets the same 27x speedup.
     """
     b = h_mats.shape[0]
+    if sampler == "auto":
+        sampler = "twopass" if (out_side % 128 == 0 and _on_tpu()) else "packed"
+    if sampler == "twopass":
+        from metro_pose3d_tpu.ops.warp_pallas import warp_images_twopass_pallas
+
+        return warp_images_twopass_pallas(
+            _pad_for_kernel(frame_u8[None]), h_mats, k_vecs, dists, out_side
+        )
     return _warp_images_packed(
         frame_u8[None], h_mats, k_vecs, dists, out_side,
         source_indices=jnp.zeros((b,), jnp.int32),

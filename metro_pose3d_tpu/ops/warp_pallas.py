@@ -1,0 +1,269 @@
+"""Pallas/Mosaic kernel for the two-pass homography warp.
+
+The companion field math and the plain-XLA formulation live in
+`ops/warp_twopass.py`; this module executes the two resampling passes as
+Mosaic `dynamic_gather` shuffles in VMEM. Motivation (VERDICT r1, weak #1):
+the direct sampler pays one HBM-gather index per output pixel at the
+platform's measured ~65M idx/s ceiling, ~11x the model's own cost on the
+tile->skeleton path. In-VMEM shuffles are VPU-rate, so the sampler drops
+from the dominant cost to noise.
+
+Mosaic constraints probed on this toolchain (scripts/exp_pallas_gather2.py,
+axon/jax 0.9.0):
+  - `jnp.take_along_axis(x, idx, axis=1)` lowers to `tpu.dynamic_gather`
+    ONLY when the operand/index/output shapes match exactly and the lane
+    width is 128 — wider operands must be chunked into 128-lane pieces with
+    the out-of-chunk lanes masked out of the select;
+  - axis=0 (sublane) gathers only work within one 8-row tile, so the
+    vertical pass instead transposes the pass-1 output in VMEM (Mosaic has
+    a native transpose) and gathers along lanes again.
+
+Kernel layout, grid = (B, S // 128) (one crop x one 128-wide column block):
+  pass 1: gather the packed-RGB source rows horizontally at u1, lerp,
+          round, repack -> t [TH, 128] int32
+  transpose t -> tT [128, TH]
+  pass 2: gather tT along lanes (source rows) at v, lerp, round, repack
+          -> out block [128, S] int32, TRANSPOSED (rows = output columns)
+The caller transposes back and unpacks in XLA (cheap elementwise/HBM ops)
+and applies the in-front mask. Values round to uint8 after each pass, so
+the kernel path differs from the float-exact direct sampler by <= 1 LSB on
+top of the two-pass geometry (see warp_twopass.py docstring); the direct
+sampler remains the default for golden-pinned eval paths.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metro_pose3d_tpu.ops.warp_twopass import twopass_fields
+
+_LANE = 128
+
+
+def _gather_lanes_chunked(operand, idx, width):
+    """take_along_axis(operand, idx, axis=1) for lane widths > 128.
+
+    operand [R, width], idx [R, C] int32 (any values; out-of-range handled
+    by the caller's masks — here they clip into the first/last chunk).
+    Returns [R, C] gathered values. C must be a multiple of 128.
+    """
+    r, c = idx.shape
+    nchunk = width // _LANE
+    out = None
+    for cb in range(0, c, _LANE):
+        ib = idx[:, cb : cb + _LANE]
+        acc = None
+        for ci in range(nchunk):
+            local = jnp.clip(ib - ci * _LANE, 0, _LANE - 1)
+            g = jnp.take_along_axis(
+                operand[:, ci * _LANE : (ci + 1) * _LANE], local, axis=1
+            )
+            if ci == 0:
+                acc = g
+            else:
+                sel = ib >= ci * _LANE
+                acc = jnp.where(sel, g, acc)
+        out = acc if out is None else jnp.concatenate([out, acc], axis=1)
+    return out
+
+
+def _unpack_n(px, nch):
+    return tuple(((px >> (8 * c)) & 0xFF).astype(jnp.float32) for c in range(nch))
+
+
+def _pack_n(channels):
+    out = None
+    for c, val in enumerate(channels):
+        q = jnp.clip(val + 0.5, 0.0, 255.0).astype(jnp.int32)
+        out = q if out is None else out | (q << (8 * c))
+    return out
+
+
+def _lerp_pass(tap0, tap1, frac, m0, m1, nch):
+    """Masked 1-D lerp of two packed taps -> repacked int32."""
+    zero = jnp.zeros((), jnp.float32)
+    w0 = jnp.where(m0, 1.0 - frac, zero)
+    w1 = jnp.where(m1, frac, zero)
+    c0 = _unpack_n(tap0, nch)
+    c1 = _unpack_n(tap1, nch)
+    return _pack_n([w0 * a + w1 * b for a, b in zip(c0, c1)])
+
+
+def _resample_twopass(src, u1, vt, tile_h, tile_w, nch):
+    """Shared two-pass core: packed src [TH, TW] -> packed out [128, S].
+
+    u1 [TH, 128]: pass-1 horizontal positions for this 128-wide column
+    block; vt [128, S]: pass-2 vertical positions, transposed (rows =
+    output columns). Output stays transposed; callers swap back in XLA.
+    """
+    # ---- pass 1: horizontal resample of every source row ------------------
+    x0f = jnp.floor(u1)
+    fx = u1 - x0f
+    x0 = x0f.astype(jnp.int32)
+    m0 = (x0 >= 0) & (x0 < tile_w)
+    m1 = (x0 + 1 >= 0) & (x0 + 1 < tile_w)
+    tap0 = _gather_lanes_chunked(src, jnp.clip(x0, 0, tile_w - 1), tile_w)
+    tap1 = _gather_lanes_chunked(src, jnp.clip(x0 + 1, 0, tile_w - 1), tile_w)
+    t = _lerp_pass(tap0, tap1, fx, m0, m1, nch)  # [TH, 128] int32
+
+    # ---- pass 2: vertical resample, as a lane gather on the transpose -----
+    tt = t.T  # [128, TH]
+    y0f = jnp.floor(vt)
+    fy = vt - y0f
+    y0 = y0f.astype(jnp.int32)
+    n0 = (y0 >= 0) & (y0 < tile_h)
+    n1 = (y0 + 1 >= 0) & (y0 + 1 < tile_h)
+    tap0 = _gather_lanes_chunked(tt, jnp.clip(y0, 0, tile_h - 1), tile_h)
+    tap1 = _gather_lanes_chunked(tt, jnp.clip(y0 + 1, 0, tile_h - 1), tile_h)
+    return _lerp_pass(tap0, tap1, fy, n0, n1, nch)  # [128, S] int32
+
+
+def _warp_kernel(src_ref, u1_ref, vt_ref, out_ref, *, tile_h, tile_w):
+    out_ref[0] = _resample_twopass(
+        src_ref[0], u1_ref[0], vt_ref[0], tile_h, tile_w, nch=3
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_side",))
+def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
+                               out_side: int, source_indices=None):
+    """Two-pass Mosaic warp: [B,TH,TW,3] uint8 -> [B,S,S,3] f32 in [0,255].
+
+    Same contract as `warp.warp_images`. Requires TH, TW, S multiples of
+    128 (the dispatcher in `warp.py` falls back otherwise). With
+    `source_indices`, crop i samples tile source_indices[i] (frame mode).
+    """
+    b = h_mats.shape[0]
+    nsrc, th, tw, _ = sources_u8.shape
+    s = out_side
+    if th % _LANE or tw % _LANE or s % _LANE:
+        raise ValueError(f"kernel path needs 128-multiples, got {sources_u8.shape}, {s}")
+    if source_indices is not None and nsrc != 1:
+        raise ValueError("kernel path supports per-crop tiles or one shared frame")
+    del source_indices  # nsrc == 1 <=> frame mode (every crop reads tile 0)
+
+    s32 = sources_u8.astype(jnp.int32)
+    packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [N,TH,TW]
+
+    u1, v, in_front = jax.vmap(
+        lambda h, k, d: twopass_fields(h, k, d, th, s)
+    )(h_mats, k_vecs, dists)  # [B,TH,S], [B,S,S], [B,S,S]
+    vt = jnp.swapaxes(v, 1, 2)  # [B, S(xo), S(yo)]
+
+    nblocks = s // _LANE
+    grid = (b, nblocks)
+    out_t = pl.pallas_call(
+        functools.partial(_warp_kernel, tile_h=th, tile_w=tw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, tw), (lambda i, j: (0, 0, 0)) if nsrc == 1
+                         else (lambda i, j: (i, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, _LANE), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE, s), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LANE, s), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, s), jnp.int32),
+    )(packed, u1, vt)
+
+    out_packed = jnp.swapaxes(out_t, 1, 2)  # back to [B, yo, xo]
+    out = jnp.stack(
+        [(out_packed & 0xFF), ((out_packed >> 8) & 0xFF),
+         ((out_packed >> 16) & 0xFF)], axis=-1
+    ).astype(jnp.float32)
+    return jnp.where(in_front[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Occluder sampling: affine RGBA warp out of a bank (ops/occlusion.py's
+# production path). Same two-pass core; differences from the crop warp:
+#   - the mapping is affine, so both passes' fields are closed-form;
+#   - occluder rotations are full-range (-pi, pi], so the Catmull-Smith
+#     "bottleneck" degeneracy (pass-1 denominator ~ 0 near +-90 deg) is
+#     dodged by sampling the TRANSPOSED tile with a row-swapped affine
+#     whenever |d v/d y| < |d u/d y| — one VMEM transpose + select;
+#   - each crop reads its own bank tile, selected by a scalar-prefetch
+#     index feeding the bank BlockSpec's index_map.
+# ---------------------------------------------------------------------------
+
+
+def _occluder_kernel(tile_idx_ref, swap_ref, bank_ref, u1_ref, vt_ref,
+                     out_ref, *, tile_side):
+    del tile_idx_ref  # consumed by the bank BlockSpec's index_map
+    src = bank_ref[0]  # [T2, T2] packed RGBA int32
+    swap = swap_ref[pl.program_id(0)] != 0
+    src = jnp.where(swap, src.T, src)
+    out_ref[0] = _resample_twopass(
+        src, u1_ref[0], vt_ref[0], tile_side, tile_side, nch=4
+    )
+
+
+def _occluder_fields(ae, tile_side: int, out_side: int):
+    """Closed-form two-pass fields for one crop's (swap-adjusted) affine."""
+    ys = jnp.arange(tile_side, dtype=jnp.float32)[:, None]
+    xo = jnp.arange(out_side, dtype=jnp.float32)[None, :]
+    den = ae[1, 1]
+    den = jnp.where(jnp.abs(den) < 1e-6, jnp.where(den < 0, -1e-6, 1e-6), den)
+    ystar = (ys - ae[1, 2] - ae[1, 0] * xo) / den
+    u1 = ae[0, 0] * xo + ae[0, 1] * ystar + ae[0, 2]  # [T2, S]
+    yo = jnp.arange(out_side, dtype=jnp.float32)[:, None]
+    v = ae[1, 0] * xo + ae[1, 1] * yo + ae[1, 2]  # [S, S]
+    return jnp.clip(u1, -1e6, 1e6), v
+
+
+@functools.partial(jax.jit, static_argnames=("out_side",))
+def sample_occluders_twopass(bank_packed, tile_indices, placements,
+                             out_side: int):
+    """[N,T2,T2] packed-RGBA bank -> [B,S,S,4] float RGBA in [0,1].
+
+    placements [B,2,3]: crop px -> tile px affine (same contract as
+    `occlusion.occlude_with_bank`); T2 and S must be multiples of 128
+    (callers pad the bank — zero padding is invisible: alpha 0).
+    """
+    n, t2, t2w = bank_packed.shape
+    s = out_side
+    if t2 != t2w or t2 % _LANE or s % _LANE:
+        raise ValueError(f"kernel path needs square 128-multiple tiles, got {bank_packed.shape}, {s}")
+    b = placements.shape[0]
+    a = placements.astype(jnp.float32)
+    # transposed-tile route when the pass-1 denominator |dv/dy| is the
+    # smaller of the two y-coefficients (rotation near +-90 deg)
+    swap = jnp.abs(a[:, 1, 1]) < jnp.abs(a[:, 0, 1])
+    ae = jnp.where(swap[:, None, None], a[:, ::-1, :], a)
+    u1, v = jax.vmap(lambda m: _occluder_fields(m, t2, s))(ae)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    grid = (b, s // _LANE)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            # index maps receive the grid indices first, then the
+            # scalar-prefetch refs
+            pl.BlockSpec((1, t2, t2), lambda i, j, ti, sw: (ti[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t2, _LANE), lambda i, j, ti, sw: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE, s), lambda i, j, ti, sw: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LANE, s), lambda i, j, ti, sw: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out_t = pl.pallas_call(
+        functools.partial(_occluder_kernel, tile_side=t2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, s), jnp.int32),
+    )(tile_indices.astype(jnp.int32), swap.astype(jnp.int32), bank_packed, u1, vt)
+
+    out_packed = jnp.swapaxes(out_t, 1, 2)
+    rgba = jnp.stack(
+        [(out_packed >> (8 * c)) & 0xFF for c in range(4)], axis=-1
+    ).astype(jnp.float32) / 255.0
+    return rgba

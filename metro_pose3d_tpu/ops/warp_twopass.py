@@ -1,0 +1,192 @@
+"""Two-pass (Catmull-Smith) homography/distortion warp — the fast sampler.
+
+The direct sampler (`ops/warp.py`) costs one HBM gather index per output
+pixel, and the platform's gather engine is per-index bound (~65M idx/s for
+the packed windowed form — DESIGN.md §3), which makes the warp ~11x the
+model's cost on the tile->skeleton path (VERDICT r1, weak #1). This module
+reformulates the warp as TWO axis-aligned 1-D resampling passes
+(Catmull & Smith 1980, "3-D transformations of images in scanline order"):
+
+  pass 1 (horizontal): t[ys, xo] = lerp_x(src[ys, :],  U1[ys, xo])
+  pass 2 (vertical):   out[yo, xo] = lerp_y(t[:, xo],  V[yo, xo])
+
+where V is the usual inverse-map source row v(xo, yo), and U1[ys, xo] is the
+source column u at the point where output column xo's warped sample path
+crosses source row ys (found by inverting y -> v(xo, y); closed form for a
+pure homography, Newton-refined under the OpenCV distortion model).
+
+Axis-aligned resampling is exactly the gather form this platform runs fast:
+`jnp.take_along_axis` on a 2-D block lowers to Mosaic's `dynamic_gather`
+inside a Pallas kernel (VMEM shuffle at VPU speed instead of one HBM gather
+index per pixel), and even in plain XLA the within-row/within-column forms
+vectorize better than the generic flat take.
+
+Exactness: the two-pass result equals direct bilinear warping exactly when
+the source x-position is constant over each blended row pair (axis-aligned
+scale + translation). Under rotation/perspective/distortion the two differ
+at sub-pixel order (the horizontal phase is evaluated per source row instead
+of frozen at the output pixel's row) — bounded by the local shear times one
+pixel. Parity tests therefore pin exact equality on axis-aligned warps and
+a tight tolerance elsewhere; the direct sampler stays the default for
+golden-pinned eval paths (config `aug.warp_sampler`).
+
+Reference responsibility: same host cv2.warpPerspective replacement as
+`ops/warp.py` (SURVEY.md §4.1 host hot loop #1).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS_Z = 1e-9
+
+
+def _normalized_from_h(h_mat, x, y):
+    """Homography part of the inverse map: output px -> normalized src coords.
+
+    Returns (xn, yn, z) with the same z>0 guard as `warp.warp_coords`.
+    """
+    px = h_mat[0, 0] * x + h_mat[0, 1] * y + h_mat[0, 2]
+    py = h_mat[1, 0] * x + h_mat[1, 1] * y + h_mat[1, 2]
+    pz = h_mat[2, 0] * x + h_mat[2, 1] * y + h_mat[2, 2]
+    in_front = pz > _EPS_Z
+    zsafe = jnp.where(in_front, pz, 1.0)
+    return px / zsafe, py / zsafe, in_front
+
+
+def _distort(xn, yn, dist):
+    k1, k2, p1, p2, k3 = (dist[i] for i in range(5))
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+    yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+    return xd, yd
+
+
+def _map_uv(h_mat, k_vec, dist, x, y):
+    """Full inverse map (identical math to `warp.warp_coords`)."""
+    xn, yn, in_front = _normalized_from_h(h_mat, x, y)
+    xd, yd = _distort(xn, yn, dist)
+    fx, fy, cx, cy = (k_vec[i] for i in range(4))
+    return xd * fx + cx, yd * fy + cy, in_front
+
+
+def _solve_row_crossings(h_mat, k_vec, dist, ys, xo, newton_iters: int = 3):
+    """For each (source row ys, output column xo): the real-valued output-row
+    parameter y* where column xo's sample path crosses source row ys.
+
+    Closed form for the pure homography; Newton refinement picks up the
+    distortion terms. All elementwise (VPU); broadcasting over ys/xo grids.
+    """
+    fy, cy = k_vec[1], k_vec[3]
+    w = (ys - cy) / fy  # target normalized y (ignoring distortion)
+    a = h_mat[1, 1]
+    b = h_mat[1, 0] * xo + h_mat[1, 2]
+    c = h_mat[2, 1]
+    d = h_mat[2, 0] * xo + h_mat[2, 2]
+    den = a - w * c
+    den = jnp.where(jnp.abs(den) < 1e-12, jnp.where(den < 0, -1e-12, 1e-12), den)
+    y = (w * d - b) / den
+
+    def v_of(yy):
+        _, v, _ = _map_uv(h_mat, k_vec, dist, xo, yy)
+        return v
+
+    def newton(yy):
+        v, dv = jax.jvp(v_of, (yy,), (jnp.ones_like(yy),))
+        dv = jnp.where(jnp.abs(dv) < 1e-12, jnp.where(dv < 0, -1e-12, 1e-12), dv)
+        return yy - (v - ys) / dv
+
+    # exact already at dist == 0 (closed form); Newton picks up distortion
+    for _ in range(newton_iters):
+        y = newton(y)
+    # keep junk finite: rows no sample path crosses produce wild y*, whose
+    # pass-1 values are never blended with nonzero weight in pass 2
+    return jnp.nan_to_num(jnp.clip(y, -1e6, 1e6))
+
+
+def twopass_fields(h_mat, k_vec, dist, tile_h: int, out_side: int,
+                   newton_iters: int = 3):
+    """Index/weight fields for one crop.
+
+    Returns (u1, v, in_front): u1 [tile_h, S] pass-1 horizontal source
+    positions, v [S, S] pass-2 vertical source positions, in_front [S, S].
+    """
+    s = out_side
+    h_mat = h_mat.astype(jnp.float32)
+    k_vec = k_vec.astype(jnp.float32)
+    dist = dist.astype(jnp.float32)
+
+    ys = jnp.arange(tile_h, dtype=jnp.float32)[:, None]  # [T,1]
+    xo = jnp.arange(s, dtype=jnp.float32)[None, :]  # [1,S]
+    ystar = _solve_row_crossings(h_mat, k_vec, dist, ys, xo, newton_iters)
+    u1, _, _ = _map_uv(h_mat, k_vec, dist, jnp.broadcast_to(xo, ystar.shape), ystar)
+    u1 = jnp.nan_to_num(jnp.clip(u1, -1e6, 1e6))
+
+    yo = jnp.arange(s, dtype=jnp.float32)[:, None]
+    _, v, in_front = _map_uv(
+        h_mat, k_vec, dist, jnp.broadcast_to(xo, (s, s)), jnp.broadcast_to(yo, (s, s))
+    )
+    v = jnp.nan_to_num(jnp.clip(v, -1e6, 1e6))
+    return u1, v, in_front
+
+
+def _lerp_1d(v0, v1, frac, m0, m1):
+    """Masked 1-D linear interpolation (zero-border policy per tap)."""
+    w0 = (1.0 - frac)[..., None] if v0.ndim > frac.ndim else (1.0 - frac)
+    w1 = frac[..., None] if v1.ndim > frac.ndim else frac
+    mm0 = m0[..., None] if v0.ndim > m0.ndim else m0
+    mm1 = m1[..., None] if v1.ndim > m1.ndim else m1
+    zero = jnp.zeros((), v0.dtype)
+    return w0 * jnp.where(mm0, v0, zero) + w1 * jnp.where(mm1, v1, zero)
+
+
+@functools.partial(jax.jit, static_argnames=("out_side",))
+def warp_images_twopass_xla(sources_u8, h_mats, k_vecs, dists, out_side: int):
+    """Two-pass warp, plain-XLA formulation (correctness reference + CPU path).
+
+    sources_u8 [B, TH, TW, 3] uint8 -> [B, S, S, 3] float32 in [0, 255].
+    Same call contract as `warp.warp_images_reference`.
+    """
+    b, th, tw, _ = sources_u8.shape
+    s = out_side
+
+    u1, v, in_front = jax.vmap(
+        lambda h, k, d: twopass_fields(h, k, d, th, s)
+    )(h_mats, k_vecs, dists)  # [B,TH,S], [B,S,S], [B,S,S]
+
+    s32 = sources_u8.astype(jnp.int32)
+    packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [B,TH,TW]
+
+    # ---- pass 1: horizontal, per source row -------------------------------
+    x0 = jnp.floor(u1)
+    fx = u1 - x0
+    x0i = x0.astype(jnp.int32)
+    m0 = (x0i >= 0) & (x0i < tw)
+    m1 = (x0i + 1 >= 0) & (x0i + 1 < tw)
+    x0c = jnp.clip(x0i, 0, tw - 1)
+    x1c = jnp.clip(x0i + 1, 0, tw - 1)
+    t0 = jnp.take_along_axis(packed, x0c, axis=2)  # [B,TH,S]
+    t1 = jnp.take_along_axis(packed, x1c, axis=2)
+
+    def unpack(px):
+        return jnp.stack(
+            [(px & 0xFF), ((px >> 8) & 0xFF), ((px >> 16) & 0xFF)], axis=-1
+        ).astype(jnp.float32)
+
+    t = _lerp_1d(unpack(t0), unpack(t1), fx, m0, m1)  # [B,TH,S,3]
+
+    # ---- pass 2: vertical, per output pixel --------------------------------
+    y0 = jnp.floor(v)
+    fy = v - y0
+    y0i = y0.astype(jnp.int32)
+    n0 = (y0i >= 0) & (y0i < th)
+    n1 = (y0i + 1 >= 0) & (y0i + 1 < th)
+    y0c = jnp.clip(y0i, 0, th - 1)
+    y1c = jnp.clip(y0i + 1, 0, th - 1)
+    r0 = jnp.take_along_axis(t, y0c[..., None], axis=1)  # [B,S,S,3]
+    r1 = jnp.take_along_axis(t, y1c[..., None], axis=1)
+    out = _lerp_1d(r0, r1, fy, n0, n1)
+    return jnp.where(in_front[..., None], out, 0.0)

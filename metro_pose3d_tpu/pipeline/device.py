@@ -44,7 +44,8 @@ EXAMPLE_SPEC = example_spec  # alias (imported by pipeline/__init__)
 
 
 def device_augment(batch: dict, proc_side: int, occluder_bank=None,
-                   train: bool = True, background_bank=None):
+                   train: bool = True, background_bank=None,
+                   warp_sampler: str = "auto"):
     """[B,T,T,3] uint8 tiles + params -> [B,S,S,3] normalized float crops.
 
     `occluder_bank`: [N, T2, T2, 4] float32 RGBA in [0,1] (device-resident);
@@ -58,21 +59,39 @@ def device_augment(batch: dict, proc_side: int, occluder_bank=None,
             source, batch["source_mask"], background_bank, batch["bg_params"]
         )
     crops = warp_images(
-        source, batch["warp_h"], batch["warp_k"], batch["warp_dist"], proc_side
+        source, batch["warp_h"], batch["warp_k"], batch["warp_dist"], proc_side,
+        sampler=warp_sampler,
     )
     crops = crops * (1.0 / 255.0)
 
     if train and occluder_bank is not None:
-        from metro_pose3d_tpu.ops.occlusion import occlude_with_bank, pack_occluder_bank
+        from metro_pose3d_tpu.ops.warp import _on_tpu
 
         idx = batch["occ_params"][:, 1].astype(jnp.int32)
-        # pack+window the (constant) bank in-graph: cheap relative to the
-        # compositing gather it accelerates, and keeps the API unchanged
-        table = pack_occluder_bank(occluder_bank)
-        crops = occlude_with_bank(
-            crops, table, occluder_bank.shape[1], idx,
-            batch["occ_affine"], batch["occ_params"][:, 0],
+        use_twopass = warp_sampler == "twopass" or (
+            warp_sampler == "auto" and proc_side % 128 == 0 and _on_tpu()
         )
+        # the (constant) bank packs in-graph: cheap relative to the
+        # compositing gather it accelerates, and keeps the API unchanged
+        if use_twopass:
+            from metro_pose3d_tpu.ops.occlusion import (
+                occlude_with_bank_twopass, pack_occluder_bank_raw,
+            )
+
+            crops = occlude_with_bank_twopass(
+                crops, pack_occluder_bank_raw(occluder_bank), idx,
+                batch["occ_affine"], batch["occ_params"][:, 0],
+            )
+        else:
+            from metro_pose3d_tpu.ops.occlusion import (
+                occlude_with_bank, pack_occluder_bank,
+            )
+
+            table = pack_occluder_bank(occluder_bank)
+            crops = occlude_with_bank(
+                crops, table, occluder_bank.shape[1], idx,
+                batch["occ_affine"], batch["occ_params"][:, 0],
+            )
 
     if train:
         cp = batch["color_params"]

@@ -65,7 +65,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     def step(state: TrainState, batch: dict, occ_bank) -> tuple[TrainState, dict]:
         crops = device_augment(
             batch, cfg.model.proc_side, occ_bank, train=True,
-            background_bank=bg_bank,
+            background_bank=bg_bank, warp_sampler=cfg.aug.warp_sampler,
         )
 
         def loss_fn(params):

@@ -1,0 +1,176 @@
+"""Two-pass warp (ops/warp_twopass.py + ops/warp_pallas.py) parity tests.
+
+Contract (module docstrings): the two-pass decomposition equals the direct
+bilinear sampler EXACTLY for axis-aligned scale+translation, and to
+sub-pixel order in the interior of the valid region under rotation /
+perspective / distortion (border transition band may differ by one tap).
+The Mosaic kernel adds <= 1 LSB from intermediate uint8 repacking; here it
+runs in interpreter mode on the CPU mesh (the real-chip timing/parity run
+is scripts/exp_twopass_chip.py: 274.8 -> 10.0 ms at bs256, sum parity 4e-5).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from metro_pose3d_tpu.ops import warp as W
+from metro_pose3d_tpu.ops.warp_twopass import warp_images_twopass_xla
+from metro_pose3d_tpu.ops.warp_pallas import warp_images_twopass_pallas
+
+
+def _params(rng, b, tile, side, perspective=False, dist_on=False, rot=0.5):
+    hs = []
+    for _ in range(b):
+        ang = rng.uniform(-rot, rot)
+        sc = rng.uniform(0.8, 1.8)
+        c, s = np.cos(ang), np.sin(ang)
+        a = np.array([[sc * c, -sc * s], [sc * s, sc * c]])
+        centre_src = np.array([tile / 2, tile / 2]) + rng.uniform(-6, 6, 2)
+        t = centre_src - a @ np.array([side / 2, side / 2])
+        hmat = np.eye(3)
+        hmat[:2, :2] = a
+        hmat[:2, 2] = t
+        if perspective:
+            hmat[2, :2] = rng.uniform(-1, 1, 2) * 1e-3
+        hs.append(hmat)
+    h = jnp.asarray(np.stack(hs), jnp.float32)
+    k = jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)[None], (b, 1))
+    d = jnp.zeros((b, 5), jnp.float32)
+    if dist_on:
+        f = float(tile)
+        pre = np.array([[1 / f, 0, -tile / 2 / f], [0, 1 / f, -tile / 2 / f], [0, 0, 1]])
+        h = jnp.asarray(np.stack([pre @ np.asarray(x) for x in np.asarray(h)]), jnp.float32)
+        k = jnp.tile(jnp.asarray([f, f, tile / 2, tile / 2], jnp.float32)[None], (b, 1))
+        d = jnp.tile(
+            jnp.asarray([-0.15, 0.03, 5e-4, -5e-4, 0.01], jnp.float32)[None], (b, 1)
+        )
+    return h, k, d
+
+
+def _interior_mask(h, k, d, tile, side, margin=2.0):
+    coords, _ = jax.vmap(lambda hh, kk, dd: W.warp_coords(hh, kk, dd, (side, side)))(h, k, d)
+    u, v = np.asarray(coords[..., 0]), np.asarray(coords[..., 1])
+    return np.minimum.reduce([u, v, (tile - 2) - u, (tile - 2) - v]) > margin
+
+
+def test_twopass_exact_on_axis_aligned():
+    rng = np.random.RandomState(0)
+    b, tile, side = 6, 64, 32
+    tiles = jnp.asarray(rng.randint(0, 256, (b, tile, tile, 3)), jnp.uint8)
+    hs = []
+    for _ in range(b):
+        sc = rng.uniform(0.7, 1.8)
+        tx, ty = rng.uniform(-5, 5, 2)
+        hs.append(np.array([[sc, 0, tx], [0, sc, ty], [0, 0, 1.0]]))
+    h = jnp.asarray(np.stack(hs), jnp.float32)
+    k = jnp.tile(jnp.asarray([1.0, 1.0, 3.0, 2.0], jnp.float32)[None], (b, 1))
+    d = jnp.zeros((b, 5), jnp.float32)
+    ref = np.asarray(W.warp_images_reference(tiles.astype(jnp.float32), h, k, d, side))
+    two = np.asarray(warp_images_twopass_xla(tiles, h, k, d, side))
+    np.testing.assert_allclose(two, ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("dist_on", [False, True])
+def test_twopass_interior_subpixel(dist_on):
+    rng = np.random.RandomState(1)
+    b, tile, side = 6, 64, 32
+    # ramp images measure GEOMETRIC error in source pixels directly
+    xr = np.tile(np.arange(tile, dtype=np.float32)[None, :, None], (tile, 1, 3))
+    yr = np.tile(np.arange(tile, dtype=np.float32)[:, None, None], (1, tile, 3))
+    h, k, d = _params(rng, b, tile, side, perspective=True, dist_on=dist_on)
+    interior = _interior_mask(h, k, d, tile, side)
+    assert interior.sum() > b * side * side // 4
+    for img in (xr, yr):
+        tiles = jnp.asarray(np.tile(img[None], (b, 1, 1, 1)), jnp.uint8)
+        ref = np.asarray(W.warp_images_reference(tiles.astype(jnp.float32), h, k, d, side))
+        two = np.asarray(warp_images_twopass_xla(tiles, h, k, d, side))
+        err = np.abs(ref - two)[..., 0][interior]
+        assert err.max() < 0.05, err.max()  # < 1/20 source pixel geometric
+
+
+def test_pallas_kernel_matches_xla_twopass():
+    rng = np.random.RandomState(2)
+    b, tile, side = 3, 128, 128
+    tiles = jnp.asarray(rng.randint(0, 256, (b, tile, tile, 3)), jnp.uint8)
+    h, k, d = _params(rng, b, tile, side, perspective=True)
+    xla = np.asarray(warp_images_twopass_xla(tiles, h, k, d, side))
+    with pltpu.force_tpu_interpret_mode():
+        pk = np.asarray(warp_images_twopass_pallas(tiles, h, k, d, side))
+    # <= 1 LSB from the kernel's intermediate uint8 repacking
+    assert np.abs(xla - pk).max() <= 1.0 + 1e-5
+
+
+def test_dispatcher_padding_and_frame_mode():
+    rng = np.random.RandomState(3)
+    b, side = 3, 128
+    # 200x320 smooth frame: padded to 256x384 inside the dispatcher.
+    # Smooth content so the sub-pixel two-pass phase difference stays small
+    # in value space (gradient <= ~12/px); geometric exactness is pinned by
+    # test_twopass_interior_subpixel.
+    yy, xx = np.meshgrid(np.arange(200), np.arange(320), indexing="ij")
+    img = (np.sin((xx + 2 * yy) / 9.0) * 100 + 120).astype(np.float32)
+    frame = jnp.asarray(np.tile(img[..., None], (1, 1, 3)), jnp.uint8)
+    h, k, d = _params(rng, b, 200, side, rot=0.3)
+    packed = np.asarray(W.warp_from_frame(frame, h, k, d, side, sampler="packed"))
+    with pltpu.force_tpu_interpret_mode():
+        two = np.asarray(W.warp_from_frame(frame, h, k, d, side, sampler="twopass"))
+    interior = _interior_mask(h, k, d, 200, side) & _interior_mask(h, k, d, 320, side)
+    err = np.abs(packed - two)[..., 0][interior]
+    assert np.median(err) <= 1.0
+    assert err.max() <= 4.0
+
+
+def test_occluder_twopass_matches_bank_path():
+    from metro_pose3d_tpu.ops.occlusion import (
+        occlude_with_bank, occlude_with_bank_twopass,
+        pack_occluder_bank, pack_occluder_bank_raw,
+    )
+
+    rng = np.random.RandomState(5)
+    b, side, t2, n = 6, 128, 96, 8
+    bank = np.zeros((n, t2, t2, 4), np.float32)
+    yy, xx = np.meshgrid(np.arange(t2), np.arange(t2), indexing="ij")
+    for i in range(n):
+        bank[i, ..., :3] = np.sin((xx + (i + 1) * yy) / 7.0)[..., None] * 0.4 + 0.5
+        bank[i, ..., 3] = ((xx - t2 / 2) ** 2 + (yy - t2 / 2) ** 2 < (t2 * 0.4) ** 2)
+    bank = jnp.asarray(bank)
+    crops = jnp.asarray(rng.uniform(0, 1, (b, side, side, 3)), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, n, (b,)), jnp.int32)
+    # full-range rotations including the near +-90 deg degenerate band the
+    # transposed-tile swap exists for
+    angles = [-np.pi / 2 + 0.01, np.pi / 2 - 0.005, 0.3, -2.9, 1.3, 2.2]
+    affs = []
+    for i in range(b):
+        th = angles[i]
+        sc = 1.0 / rng.uniform(0.2, 0.7)
+        c, s = np.cos(th), np.sin(th)
+        m = sc * np.array([[c, -s], [s, c]])
+        centre = rng.uniform(0.1, 0.9, 2) * side
+        aff = np.zeros((2, 3))
+        aff[:, :2] = m
+        aff[:, 2] = np.array([t2 / 2, t2 / 2]) - m @ centre
+        affs.append(aff)
+    affs = jnp.asarray(np.stack(affs), jnp.float32)
+    en = jnp.ones((b,), jnp.float32)
+
+    ref = np.asarray(occlude_with_bank(crops, pack_occluder_bank(bank), t2, idx, affs, en))
+    with pltpu.force_tpu_interpret_mode():
+        two = np.asarray(
+            occlude_with_bank_twopass(crops, pack_occluder_bank_raw(bank), idx, affs, en)
+        )
+    diff = np.abs(ref - two)
+    # sub-pixel two-pass phase + 8-bit repacking; alpha edges may move by
+    # one tap (the transition-band semantics documented in warp_pallas.py)
+    assert diff.mean() < 2e-3
+    assert (diff > 0.05).mean() < 1e-3
+
+
+def test_dispatcher_auto_off_tpu_is_packed():
+    rng = np.random.RandomState(4)
+    b, tile, side = 2, 64, 32
+    tiles = jnp.asarray(rng.randint(0, 256, (b, tile, tile, 3)), jnp.uint8)
+    h, k, d = _params(rng, b, tile, side)
+    auto = np.asarray(W.warp_images(tiles, h, k, d, side))
+    packed = np.asarray(W.warp_images(tiles, h, k, d, side, sampler="packed"))
+    np.testing.assert_array_equal(auto, packed)
