@@ -24,7 +24,9 @@ from metro_pose3d_tpu.models.metro import (
 from metro_pose3d_tpu.ops.color import normalize
 from metro_pose3d_tpu.ops.decode import root_relative
 from metro_pose3d_tpu.ops.pose3d import reconstruct_absolute, rescale_to_bone_lengths
-from metro_pose3d_tpu.ops.tta import flip_crop, unflip_pose2d, unflip_pose3d
+from metro_pose3d_tpu.ops.tta import (
+    flip_crop, unflip_pose25d, unflip_pose2d, unflip_pose3d,
+)
 from metro_pose3d_tpu.pipeline.device import device_augment
 
 
@@ -68,11 +70,19 @@ def make_predict_fn(
             # x/y decode in crop pixels, z metric — root-relative metric
             # coordinates require a known root depth, so this path returns
             # the raw 2.5D prediction; predict_dataset lifts it with the GT
-            # root depth (the paper's evaluation convention for baselines).
-            # Flip-TTA would need pixel-space unflip of x only; the baseline
-            # is evaluated without TTA like the paper's ablation.
-            l3d, l2d = model.apply(variables, crops_norm, train=False)
-            pose25d, pose2d = decode_twofive(l3d, l2d, cfg.model)
+            # root depth (the paper's evaluation convention for baselines;
+            # eval defaults keep TTA off for it, but the capability exists).
+            if flip_tta:
+                both = jnp.concatenate([crops_norm, flip_crop(crops_norm)], axis=0)
+                l3d, l2d = model.apply(variables, both, train=False)
+                p25, p2 = decode_twofive(l3d, l2d, cfg.model)
+                p25_m = unflip_pose25d(p25[b:], mirror, cfg.model.proc_side)
+                p2_m = unflip_pose2d(p2[b:], mirror, cfg.model.proc_side)
+                pose25d = 0.5 * (p25[:b] + p25_m)
+                pose2d = 0.5 * (p2[:b] + p2_m)
+            else:
+                l3d, l2d = model.apply(variables, crops_norm, train=False)
+                pose25d, pose2d = decode_twofive(l3d, l2d, cfg.model)
             return {"pose25d": pose25d, "pose2d_px": pose2d}
 
         if flip_tta:
