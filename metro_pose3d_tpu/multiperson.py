@@ -103,8 +103,12 @@ def make_multiperson_predict_fn(
 
         # rotate out of each virtual crop camera into the shared orig frame
         rot = batch["rot_to_orig"]  # [B, 3, 3]
-        pose3d_abs_orig = jnp.einsum("bij,bkj->bki", rot, pose3d_abs)
-        pose3d_rel_orig = jnp.einsum("bij,bkj->bki", rot, pose3d_rel)
+        # HIGHEST: mm-scale coordinates (|t| ~ metres) would lose up to
+        # ~16 mm to the TPU-default bf16 einsum
+        pose3d_abs_orig = jnp.einsum("bij,bkj->bki", rot, pose3d_abs,
+                                     precision=jax.lax.Precision.HIGHEST)
+        pose3d_rel_orig = jnp.einsum("bij,bkj->bki", rot, pose3d_rel,
+                                     precision=jax.lax.Precision.HIGHEST)
         return {
             "pose3d_abs": pose3d_abs_orig,
             "pose3d_rootrel": pose3d_rel_orig,

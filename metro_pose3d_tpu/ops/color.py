@@ -10,6 +10,7 @@ luma-preserving rotation (standard linear RGB approximation).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from metro_pose3d_tpu import reference_constants as C
@@ -41,17 +42,22 @@ def color_jitter(images, brightness, contrast, saturation, hue):
 
     x = images + b
     x = (x - 0.5) * c + 0.5
-    luma = jnp.einsum("bhwc,c->bhw", x, _LUMA)[..., None]
+    # HIGHEST on all color-space einsums: the TPU-default bf16 matmul loses
+    # ~0.4% relative, visible as banding after the uint8 round-trip
+    luma = jnp.einsum("bhwc,c->bhw", x, _LUMA,
+                      precision=jax.lax.Precision.HIGHEST)[..., None]
     x = luma + (x - luma) * s
 
     cos_h = jnp.cos(hue)[:, None, None]
     sin_h = jnp.sin(hue)[:, None, None]
-    yiq = jnp.einsum("ij,bhwj->bhwi", _RGB2YIQ, x)
+    yiq = jnp.einsum("ij,bhwj->bhwi", _RGB2YIQ, x,
+                     precision=jax.lax.Precision.HIGHEST)
     i, q = yiq[..., 1], yiq[..., 2]
     yiq = jnp.stack(
         [yiq[..., 0], i * cos_h - q * sin_h, i * sin_h + q * cos_h], axis=-1
     )
-    x = jnp.einsum("ij,bhwj->bhwi", _YIQ2RGB, yiq)
+    x = jnp.einsum("ij,bhwj->bhwi", _YIQ2RGB, yiq,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(x, 0.0, 1.0)
 
 

@@ -43,7 +43,8 @@ def occlude_with_tiles(crops, occluder_tiles, placements, enabled):
         xs = jnp.arange(s, dtype=jnp.float32)
         gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
         p = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
-        src = jnp.einsum("ij,hwj->hwi", aff, p)  # (S, S, 2) tile coords
+        src = jnp.einsum("ij,hwj->hwi", aff, p,
+                         precision=jax.lax.Precision.HIGHEST)  # (S,S,2) tile px
         rgba = bilinear_sample(tile, src)  # zero alpha outside the tile
         rgba = rgba * on  # disabled -> fully transparent
         return paste_rgba(crop[None], rgba[None])[0]
@@ -114,7 +115,8 @@ def occlude_with_bank(crops, packed_table, tile_side, tile_indices, placements,
     xs = jnp.arange(s, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (S,S,3)
-    src = jnp.einsum("bij,hwj->bhwi", placements.astype(jnp.float32), grid)
+    src = jnp.einsum("bij,hwj->bhwi", placements.astype(jnp.float32), grid,
+                     precision=jax.lax.Precision.HIGHEST)
     u, v = src[..., 0], src[..., 1]
     x0 = jnp.floor(u)
     y0 = jnp.floor(v)

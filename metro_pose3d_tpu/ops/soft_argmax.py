@@ -29,7 +29,10 @@ def soft_argmax_2d(logits: jnp.ndarray) -> jnp.ndarray:
     ys = jnp.repeat(_grid_1d(h), w)  # index = y*W + x
     xs = jnp.tile(_grid_1d(w), h)
     grid = jnp.stack([xs, ys], axis=-1)  # (H*W, 2)
-    return jnp.einsum("bvj,vc->bjc", probs, grid)
+    # HIGHEST: TPU default matmul precision is bf16 (~0.4% relative), which
+    # would cost millimetres after the 2200 mm box scale — decode must be f32
+    return jnp.einsum("bvj,vc->bjc", probs, grid,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def soft_argmax_3d(logits: jnp.ndarray) -> jnp.ndarray:
@@ -45,4 +48,5 @@ def soft_argmax_3d(logits: jnp.ndarray) -> jnp.ndarray:
     xs = jnp.tile(jnp.repeat(_grid_1d(w), d), h)
     zs = jnp.tile(_grid_1d(d), h * w)
     grid = jnp.stack([xs, ys, zs], axis=-1)  # (H*W*D, 3)
-    return jnp.einsum("bvj,vc->bjc", probs, grid)
+    return jnp.einsum("bvj,vc->bjc", probs, grid,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -54,7 +54,10 @@ def warp_coords(h_mat, k_vec, dist, out_shape):
     xs = jnp.arange(out_w, dtype=jnp.float32)
     grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
     p = jnp.stack([grid_x, grid_y, jnp.ones_like(grid_x)], axis=-1)  # (H,W,3)
-    ray = jnp.einsum("ij,hwj->hwi", h_mat.astype(jnp.float32), p)
+    # HIGHEST: the TPU-default bf16 einsum quantizes source coordinates to
+    # ~0.8 px at tile scale (measured; scripts/exp_kernel_bisect.py round 2)
+    ray = jnp.einsum("ij,hwj->hwi", h_mat.astype(jnp.float32), p,
+                     precision=jax.lax.Precision.HIGHEST)
     z = ray[..., 2]
     in_front = z > 1e-9
     zsafe = jnp.where(in_front, z, 1.0)
