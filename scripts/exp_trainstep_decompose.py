@@ -31,6 +31,7 @@ def timeit_fn(fn, *args, iters=8, warmup=2):
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    sections = sys.argv[2].split(",") if len(sys.argv) > 2 else ["aug", "fwd", "step", "full"]
     sys.path.insert(0, "/root/repo/scripts")
     from bench_device import make_batch
     from metro_pose3d_tpu.config import Config
@@ -47,12 +48,15 @@ def main():
     occ = jnp.asarray(rng.uniform(0, 1, (64, 128, 128, 4)), jnp.float32)
 
     # augment alone
-    f_aug = jax.jit(lambda b, o: jnp.sum(device_augment(b, side, o, train=True)))
-    dt_aug = timeit_fn(f_aug, batch, occ)
-    print(f"augment alone bs{bs}:       {dt_aug*1e3:7.1f} ms")
+    if "aug" in sections:
+        f_aug = jax.jit(lambda b, o: jnp.sum(device_augment(b, side, o, train=True)))
+        dt_aug = timeit_fn(f_aug, batch, occ)
+        print(f"augment alone bs{bs}:       {dt_aug*1e3:7.1f} ms")
 
-    crops = jax.jit(lambda b, o: device_augment(b, side, o, train=True))(batch, occ)
-    crops = jax.block_until_ready(crops)
+    crops = None
+    if "fwd" in sections or "step" in sections:
+        crops = jax.jit(lambda b, o: device_augment(b, side, o, train=True))(batch, occ)
+        crops = jax.block_until_ready(crops)
 
     model = MetroModel(cfg.model)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, side, side, 3)), train=True)
@@ -68,9 +72,10 @@ def main():
             mutable=["batch_stats"])
         total, _ = compute_losses(l3d, l2d, batch, cfg, 0)
         return total
-    f_fwd = jax.jit(fwdloss)
-    dt_fwd = timeit_fn(f_fwd, state.params, state.batch_stats, crops, batch)
-    print(f"fwd(train)+loss bs{bs}:     {dt_fwd*1e3:7.1f} ms")
+    if "fwd" in sections:
+        f_fwd = jax.jit(fwdloss)
+        dt_fwd = timeit_fn(f_fwd, state.params, state.batch_stats, crops, batch)
+        print(f"fwd(train)+loss bs{bs}:     {dt_fwd*1e3:7.1f} ms")
 
     # fwd+bwd+adam on ready crops
     def step_nocrop(state, crops, batch):
@@ -86,18 +91,21 @@ def main():
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt), loss
-    f_step = jax.jit(step_nocrop, donate_argnums=(0,))
-    st = state
-    st, loss = f_step(st, crops, batch); jax.block_until_ready(loss)
-    times = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        st, loss = f_step(st, crops, batch)
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
-    print(f"fwd+bwd+adam (no augment): {np.median(times)*1e3:7.1f} ms")
+    if "step" in sections:
+        f_step = jax.jit(step_nocrop, donate_argnums=(0,))
+        st = state
+        st, loss = f_step(st, crops, batch); jax.block_until_ready(loss)
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            st, loss = f_step(st, crops, batch)
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+        print(f"fwd+bwd+adam (no augment): {np.median(times)*1e3:7.1f} ms")
 
     # full production step
+    if "full" not in sections:
+        return
     state2 = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                         batch_stats=variables["batch_stats"],
                         opt_state=tx.init(variables["params"]))
