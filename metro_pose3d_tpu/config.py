@@ -36,6 +36,10 @@ class ModelConfig:
     box_size_mm: float = C.BOX_SIZE_MM
     num_joints: int = 17
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    # inference-only int8 conv path ("none" | "int8"; "calib" is used
+    # internally by models/quantize.calibrate). 1.66x conv throughput on
+    # v5e, requires a calibration pass — see models/quantize.py.
+    quantize: str = "none"
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
     # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:

@@ -38,6 +38,10 @@ class MetroModel(nn.Module):
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
+        if train and cfg.quantize != "none":
+            raise ValueError(
+                "model.quantize is inference-only; training runs the bf16 graph"
+            )
         feats = ResNet(
             variant=cfg.backbone,
             output_stride=cfg.stride,
@@ -49,6 +53,7 @@ class MetroModel(nn.Module):
             stride_position=cfg.stride_position,
             v2_biases=cfg.v2_biases,
             bn_group_size=cfg.bn_group_size,
+            quantize=cfg.quantize,
             name="backbone",
         )(crops, train)
 

@@ -1,0 +1,114 @@
+"""Post-training int8 quantization for the inference path.
+
+Motivation (DESIGN.md §3.2): the bf16 conv emitter caps flip-TTA at ~3.5k
+crops/s on one v5e; int8 convolutions measured 1.66x the bf16 rate on this
+chip (scripts/exp_int8_probe.py: 243 vs 147 TFLOP/s-equiv on an R50
+stage-3 conv), which is enough to put the TTA protocol past the 5k target.
+
+Scheme (standard TPU PTQ):
+  - weights: symmetric per-output-channel int8, scales from the f32 params
+    at trace time (no checkpoint change — any trained/converted checkpoint
+    quantizes on the fly);
+  - activations: symmetric per-tensor int8 with STATIC scales from a
+    calibration pass (`calibrate`): run representative batches in "calib"
+    mode, which records the running per-conv |x| max into the "quant"
+    variable collection; "int8" mode then uses amax/127 as the scale.
+    ResNet-v2 conv inputs are post-ReLU, so symmetric int8 is effectively
+    7-bit unsigned — calibration keeps this accurate enough for the pose
+    heads (the heads themselves and the stem stay bf16).
+  - compute: int8 x int8 -> int32 MXU conv, dequantized by (sa * sw[c]) on
+    the VPU; BN/ReLU stay in f32/bf16 exactly as in the bf16 graph.
+
+Selected by `model.quantize = "int8"` (inference only — training always
+runs the bf16 graph; `train/` never sees these modules).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class QuantConv(nn.Module):
+    """Drop-in for the blocks' `nn.Conv` call sites in int8/calib mode.
+
+    Parameter tree ("kernel", "bias") matches `nn.Conv`, so checkpoints are
+    interchangeable between quantize modes.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    kernel_dilation: tuple = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    mode: str = "int8"  # "int8" | "calib"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        amax = self.variable(
+            "quant", "amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        if self.mode == "calib":
+            if not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, self.padding, rhs_dilation=self.kernel_dilation,
+                dimension_numbers=dn,
+            )
+        else:
+            sa = jnp.maximum(amax.value, 1e-6) / 127.0
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / sa), -127.0, 127.0
+            ).astype(jnp.int8)
+            sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # [F]
+            swc = jnp.maximum(sw, 1e-12)
+            wq = jnp.clip(jnp.round(kernel / swc), -127.0, 127.0).astype(jnp.int8)
+            acc = lax.conv_general_dilated(
+                xq, wq, self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32) * (sa * swc)).astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def calibrate(model, variables, crop_batches, n_batches: int | None = None):
+    """Run calibration batches through the "calib" graph; returns the
+    variables dict with the populated "quant" collection.
+
+    `model` must be built with quantize="calib" (see ModelConfig.quantize);
+    `crop_batches` yields normalized crop arrays [B, S, S, 3].
+    """
+    variables = dict(variables)
+    ran = False
+    for i, crops in enumerate(crop_batches):
+        if n_batches is not None and i >= n_batches:
+            break
+        # flax creates missing variables in mutable collections on first
+        # apply, so the "quant" collection materializes here
+        _, upd = model.apply(variables, crops, train=False, mutable=["quant"])
+        variables["quant"] = upd["quant"]
+        ran = True
+    if not ran:
+        raise ValueError("calibration needs at least one batch")
+    return variables

@@ -138,6 +138,23 @@ def _conv_pad(kernel: int, strides: int, dilation: int, mode: str):
     return "SAME"
 
 
+def _make_conv(f, k, s, d, name, use_bias, dtype, conv_padding, quantize):
+    """Block conv factory: nn.Conv, or the int8/calibration conv
+    (models/quantize.py) with the identical parameter tree."""
+    pad = _conv_pad(k, s, d, conv_padding)
+    if quantize == "none":
+        return nn.Conv(
+            f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding=pad,
+            use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32, name=name,
+        )
+    from metro_pose3d_tpu.models.quantize import QuantConv
+
+    return QuantConv(
+        features=f, kernel_size=(k, k), strides=(s, s), kernel_dilation=(d, d),
+        padding=pad, use_bias=use_bias, dtype=dtype, mode=quantize, name=name,
+    )
+
+
 class GhostBatchNorm(nn.Module):
     """`nn.BatchNorm` drop-in whose TRAIN statistics cover fixed-size example
     groups (ghost BN), for training-numerics parity with small-batch
@@ -233,6 +250,7 @@ class Bottleneck(nn.Module):
     # the projection shortcut); needed for exact v2-checkpoint conversion.
     v2_biases: bool = False
     bn_group_size: int = 0  # 0 = global sync-BN; >0 = ghost BN groups
+    quantize: str = "none"  # "none" | "int8" | "calib" (models/quantize.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -241,16 +259,8 @@ class Bottleneck(nn.Module):
             momentum=self.bn_momentum, epsilon=self.bn_epsilon,
             dtype=self.dtype, name=name,
         )
-        conv = lambda f, k, s, d, name, ub=False: nn.Conv(
-            f,
-            (k, k),
-            strides=(s, s),
-            kernel_dilation=(d, d),
-            padding=_conv_pad(k, s, d, self.conv_padding),
-            use_bias=ub,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name=name,
+        conv = lambda f, k, s, d, name, ub=False: _make_conv(
+            f, k, s, d, name, ub, self.dtype, self.conv_padding, self.quantize
         )
         out_features = self.features * 4
         change = x.shape[-1] != out_features
@@ -297,6 +307,7 @@ class BasicBlock(nn.Module):
     conv_padding: str = "same"
     v2_biases: bool = False
     bn_group_size: int = 0
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -305,10 +316,8 @@ class BasicBlock(nn.Module):
             momentum=self.bn_momentum, epsilon=self.bn_epsilon,
             dtype=self.dtype, name=name,
         )
-        conv = lambda f, k, s, d, name, ub=False: nn.Conv(
-            f, (k, k), strides=(s, s), kernel_dilation=(d, d),
-            padding=_conv_pad(k, s, d, self.conv_padding),
-            use_bias=ub, dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        conv = lambda f, k, s, d, name, ub=False: _make_conv(
+            f, k, s, d, name, ub, self.dtype, self.conv_padding, self.quantize
         )
         change = x.shape[-1] != self.features
         subsample = (lambda t: t[:, :: self.strides, :: self.strides, :]) if (
@@ -351,6 +360,7 @@ class ResNet(nn.Module):
     stride_position: str = "first"
     v2_biases: bool = False  # slim/Keras v2 bias placement (see Bottleneck)
     bn_group_size: int = 0  # 0 = global sync-BN; >0 = ghost-BN group size
+    quantize: str = "none"  # inference-only int8 path (models/quantize.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -422,6 +432,7 @@ class ResNet(nn.Module):
                     conv_padding=self.conv_padding,
                     v2_biases=self.v2_biases,
                     bn_group_size=self.bn_group_size,
+                    quantize=self.quantize,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 

@@ -1,0 +1,70 @@
+"""Int8 inference path (models/quantize.py): mechanism tests on CPU.
+
+Throughput evidence lives on the chip (scripts/exp_int8_probe.py and the
+quantized predict bench); here: calibration populates scales, the int8
+graph tracks the f32 graph within quantization error, parameter trees are
+interchangeable, and training refuses the quantized graph.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metro_pose3d_tpu.config import Config, apply_overrides
+from metro_pose3d_tpu.models.metro import MetroModel
+from metro_pose3d_tpu.models.quantize import calibrate
+
+
+def _cfg(quant="none"):
+    cfg = apply_overrides(Config(), {
+        "model.backbone": "tiny", "model.proc_side": "64",
+        "model.depth": "4", "model.compute_dtype": "float32",
+    })
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize=quant))
+
+
+def _crops(rng, n=4):
+    return jnp.asarray(rng.uniform(-1, 1, (n, 64, 64, 3)), jnp.float32)
+
+
+def test_calibrate_then_int8_tracks_f32():
+    rng = np.random.RandomState(0)
+    base = MetroModel(_cfg("none").model)
+    variables = base.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+
+    calib_model = MetroModel(_cfg("calib").model)
+    calibrated = calibrate(
+        calib_model, dict(variables), [_crops(rng) for _ in range(3)])
+    assert "quant" in calibrated
+    amaxes = jax.tree_util.tree_leaves(calibrated["quant"])
+    assert len(amaxes) > 0 and all(float(a) > 0 for a in amaxes)
+
+    l3_f, l2_f = base.apply(variables, _crops(np.random.RandomState(7)), train=False)
+    int8_model = MetroModel(_cfg("int8").model)
+    l3_q, l2_q = int8_model.apply(
+        calibrated, _crops(np.random.RandomState(7)), train=False)
+    # random-weight logits are O(1); int8 PTQ should track within a few %
+    scale = float(jnp.abs(l3_f).max())
+    assert float(jnp.abs(l3_q - l3_f).max()) < 0.1 * scale + 0.05
+    assert np.isfinite(np.asarray(l2_q)).all()
+
+
+def test_param_tree_identical_across_modes():
+    rng = np.random.RandomState(1)
+    v_none = MetroModel(_cfg("none").model).init(
+        jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+    v_int8 = MetroModel(_cfg("int8").model).init(
+        jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+    paths = lambda tree: set(
+        jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(tree))
+    assert paths(v_none["params"]) == paths(v_int8["params"])
+
+
+def test_train_refuses_quantized_graph():
+    rng = np.random.RandomState(2)
+    model = MetroModel(_cfg("int8").model)
+    with pytest.raises(ValueError, match="inference-only"):
+        model.init(jax.random.PRNGKey(0), _crops(rng, 1), train=True)
