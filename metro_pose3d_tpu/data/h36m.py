@@ -81,7 +81,7 @@ class H36MDataset:
     def _example(self, idx: int) -> Example:
         from metro_pose3d_tpu.utils import improc
 
-        img = improc.imread(os.path.join(self.root, str(self.image_paths[idx])))
+        img = improc.imread_cached(os.path.join(self.root, str(self.image_paths[idx])))
         cam = Camera(
             intrinsic_matrix=self.intrinsics[idx],
             rot_world_to_cam=self.rotations[idx],

@@ -68,7 +68,7 @@ class Mpi3dhpDataset:
 
         from metro_pose3d_tpu.utils import improc
 
-        img = improc.imread(os.path.join(self.root, str(ann["image_paths"][idx])))
+        img = improc.imread_cached(os.path.join(self.root, str(ann["image_paths"][idx])))
         cam = Camera(
             intrinsic_matrix=ann["intrinsics"][idx],
             rot_world_to_cam=ann["rotations"][idx],

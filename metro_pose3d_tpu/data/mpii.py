@@ -50,7 +50,7 @@ class MpiiDataset:
     def train_example(self, i: int) -> Example:
         from metro_pose3d_tpu.utils import improc
 
-        img = improc.imread(os.path.join(self.root, str(self.image_paths[i])))
+        img = improc.imread_cached(os.path.join(self.root, str(self.image_paths[i])))
         cam = Camera.from_fov(self.fov, img.shape)
         return Example(
             image=np.ascontiguousarray(img),

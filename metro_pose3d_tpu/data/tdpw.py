@@ -142,7 +142,7 @@ class Tdpw3Dataset:
 
         frame_idx, k = self._persons[split][i]
         rec = self._frames[split][frame_idx]
-        img = improc.imread(rec["image"])
+        img = improc.imread_cached(rec["image"])
         cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"], rec["world_up"])
         world = rec["world"][k]
         px = cam.world_to_image(world)
@@ -170,7 +170,7 @@ class Tdpw3Dataset:
         from metro_pose3d_tpu.utils import improc
 
         rec = self._frames["test"][i]
-        img = improc.imread(rec["image"])
+        img = improc.imread_cached(rec["image"])
         cam = _camera_from_pose(rec["cam_pose"], rec["intrinsics"], rec["world_up"])
         boxes = np.stack(
             [

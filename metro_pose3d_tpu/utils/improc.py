@@ -74,6 +74,70 @@ def imread(path: str) -> np.ndarray:
     return np.ascontiguousarray(img[..., ::-1])
 
 
+class _FrameCache:
+    """Thread-safe byte-budgeted LRU of decoded frames, keyed by path.
+
+    Cold JPEG decode is the host feed's bottleneck (~64 frames/s/core,
+    BASELINE.md): one fresh 1 MP frame per crop would need ~78 cores/chip
+    to sustain 5k crops/s, while H36M-style protocols reuse each frame for
+    several crops and revisit frames every epoch. The loader's worker
+    THREADS share this cache (pipeline/loader.py uses a thread pool, so one
+    process-wide dict serves all workers). Entries are read-only by
+    convention — `prepare_example` never mutates its source frame.
+    """
+
+    def __init__(self, budget_mb: int = 2048):
+        import collections
+        import threading
+
+        self._lock = threading.Lock()
+        self._entries = collections.OrderedDict()
+        self._bytes = 0
+        self._budget = budget_mb * (1 << 20)
+        self.hits = 0
+        self.misses = 0
+
+    def set_budget_mb(self, budget_mb: int):
+        with self._lock:
+            self._budget = budget_mb * (1 << 20)
+            self._evict()
+
+    def _evict(self):
+        while self._bytes > self._budget and self._entries:
+            _, old = self._entries.popitem(last=False)
+            self._bytes -= old.nbytes
+
+    def get(self, path: str) -> np.ndarray:
+        with self._lock:
+            img = self._entries.get(path)
+            if img is not None:
+                self._entries.move_to_end(path)
+                self.hits += 1
+                return img
+            self.misses += 1
+        img = imread(path)  # decode OUTSIDE the lock (threads overlap)
+        with self._lock:
+            if path not in self._entries:
+                self._entries[path] = img
+                self._bytes += img.nbytes
+                self._evict()
+        return img
+
+    def clear(self):
+        with self._lock:
+            self._entries.clear()
+            self._bytes = 0
+
+
+FRAME_CACHE = _FrameCache()
+
+
+def imread_cached(path: str) -> np.ndarray:
+    """`imread` through the process-wide decoded-frame LRU (treat the
+    result as read-only). Budget: `FRAME_CACHE.set_budget_mb`."""
+    return FRAME_CACHE.get(str(path))
+
+
 def extract_tile_native(img: np.ndarray, x0, y0, x1, y1, factor, tile_side):
     """ROI slice + integer-area decimation + zero pad -> [T, T, 3] uint8.
 

@@ -124,3 +124,57 @@ class TestWhiteBalance:
     def test_identity_on_gray(self):
         img = np.full((8, 8, 3), 128, np.uint8)
         np.testing.assert_array_equal(improc.white_balance(img), img)
+
+
+class TestFrameCache:
+    """Decoded-frame LRU (utils/improc.imread_cached) — the host-feed
+    lever from BASELINE.md: cold decode ~64 frames/s/core, so frame reuse
+    across crops/epochs must come from cache hits, bounded in bytes."""
+
+    def _write_jpegs(self, tmp_path, n, side=64):
+        import cv2
+
+        paths = []
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            p = str(tmp_path / f"f{i}.jpg")
+            cv2.imwrite(p, rng.randint(0, 255, (side, side, 3), np.uint8))
+            paths.append(p)
+        return paths
+
+    def test_hit_returns_same_object_and_counts(self, tmp_path):
+        from metro_pose3d_tpu.utils.improc import _FrameCache
+
+        cache = _FrameCache(budget_mb=64)
+        [p] = self._write_jpegs(tmp_path, 1)
+        a = cache.get(p)
+        b = cache.get(p)
+        assert a is b  # no re-decode, no copy
+        assert cache.hits == 1 and cache.misses == 1
+
+    def test_lru_eviction_under_budget(self, tmp_path):
+        from metro_pose3d_tpu.utils.improc import _FrameCache
+
+        # each 64x64 frame is 12 KiB decoded; budget of 1 MB holds ~85
+        cache = _FrameCache(budget_mb=1)
+        paths = self._write_jpegs(tmp_path, 100)
+        for p in paths:
+            cache.get(p)
+        assert cache._bytes <= 1 << 20
+        # oldest entries evicted, newest retained
+        assert paths[-1] in cache._entries
+        assert paths[0] not in cache._entries
+
+    def test_threaded_access_consistent(self, tmp_path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from metro_pose3d_tpu.utils.improc import _FrameCache, imread
+
+        cache = _FrameCache(budget_mb=64)
+        paths = self._write_jpegs(tmp_path, 8)
+        with ThreadPoolExecutor(8) as pool:
+            outs = list(pool.map(cache.get, paths * 8))
+        for p, want in zip(paths, [imread(p) for p in paths]):
+            got = cache.get(p)
+            np.testing.assert_array_equal(got, want)
+        assert len(outs) == 64
