@@ -21,10 +21,17 @@ import jax
 
 
 def _load_variables(cfg):
+    import dataclasses
+
     from metro_pose3d_tpu.train.checkpoint import Checkpointer
     from metro_pose3d_tpu.train.loop import make_optimizer
     from metro_pose3d_tpu.train.state import create_train_state
 
+    if cfg.model.quantize != "none":
+        # checkpoints are quantize-agnostic; the train-state template must
+        # build the (train-mode) bf16 graph
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize="none"))
     state = create_train_state(cfg, make_optimizer(cfg))
     logdir = cfg.train.load_path or cfg.train.logdir
     state, step = Checkpointer(logdir).restore(state)
@@ -112,7 +119,16 @@ def main(argv=None):
     if export:
         from metro_pose3d_tpu.export import export_model
 
-        export_model(cfg, _load_variables(cfg), export[0].split("=", 1)[1])
+        variables = _load_variables(cfg)
+        if cfg.model.quantize == "int8":
+            # int8 bundles ship calibrated activation scales, from the
+            # dataset's deterministic eval crops (models/quantize.py)
+            from metro_pose3d_tpu.data import get_dataset
+            from metro_pose3d_tpu.models.quantize import calibrate_on_dataset
+
+            variables = calibrate_on_dataset(
+                cfg, variables, get_dataset(cfg.data.dataset, cfg.data.data_root))
+        export_model(cfg, variables, export[0].split("=", 1)[1])
         return 0
 
     print(__doc__)

@@ -112,3 +112,34 @@ def calibrate(model, variables, crop_batches, n_batches: int | None = None):
     if not ran:
         raise ValueError("calibration needs at least one batch")
     return variables
+
+
+def calibrate_on_dataset(cfg, variables, dataset, n_batches: int = 8):
+    """Calibrate on the dataset's deterministic eval crops (the deployment
+    input distribution): test split -> standard eval pipeline crops ->
+    `calibrate`. Used by `main.py --export` when model.quantize == "int8"."""
+    import dataclasses
+
+    from metro_pose3d_tpu.models.metro import MetroModel
+    from metro_pose3d_tpu.pipeline.device import device_augment
+    from metro_pose3d_tpu.pipeline.loader import batch_iterator
+
+    model = MetroModel(dataclasses.replace(cfg.model, quantize="calib"))
+    it = batch_iterator(
+        dataset.test_example, dataset.n_test, dataset.joint_info,
+        cfg.eval.batch_size, cfg.model.proc_side, cfg.data.source_side,
+        aug_cfg=None, shuffle=False, max_epochs=1, drop_remainder=False,
+        n_workers=cfg.data.workers,
+        box_expansion=cfg.data.test_box_expansion,
+    )
+
+    def crops_gen():
+        for i, batch in enumerate(it):
+            if i >= n_batches:
+                break
+            yield device_augment(
+                batch, cfg.model.proc_side, train=False,
+                warp_sampler=cfg.aug.warp_sampler,
+            )
+
+    return calibrate(model, dict(variables), crops_gen())

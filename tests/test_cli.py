@@ -47,3 +47,31 @@ def test_test_mode_end_to_end(tmp_path):
     data = np.load(pred_path, allow_pickle=True)
     assert data["pose3d_rootrel"].shape[1:] == (17, 3)
     assert main(["--eval-h36m", f"--eval.pred_path={pred_path}"]) == 0
+
+
+def test_export_int8_calibrates_and_bundles(tmp_path):
+    """--export with model.quantize=int8: calibrate on the dataset's eval
+    crops, ship the quant scales in the bundle, reload and predict."""
+    out = tmp_path / "bundle"
+    rc = main([
+        f"--export={out}", "--data.dataset=synthetic",
+        "--model.backbone=tiny", "--model.proc_side=64", "--model.depth=4",
+        "--model.compute_dtype=float32", "--model.quantize=int8",
+        "--data.source_side=128", "--eval.batch_size=8",
+        f"--train.logdir={tmp_path}",
+    ])
+    assert rc == 0
+    from metro_pose3d_tpu.export import load_exported
+    import jax
+    import jax.numpy as jnp
+
+    cfg2, loaded, fn = load_exported(str(out))
+    assert cfg2.model.quantize == "int8"
+    amaxes = jax.tree_util.tree_leaves(loaded["quant"])
+    assert amaxes and all(float(a) > 0 for a in amaxes)
+    crops = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (2, 64, 64, 3)), jnp.uint8)
+    intr = jnp.tile(jnp.asarray(
+        [[90.0, 0, 31.5], [0, 90.0, 31.5], [0, 0, 1]], jnp.float32)[None], (2, 1, 1))
+    res = fn(loaded, crops, intr)
+    assert np.isfinite(np.asarray(res["pose3d_rootrel"])).all()

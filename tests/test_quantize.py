@@ -68,3 +68,31 @@ def test_train_refuses_quantized_graph():
     model = MetroModel(_cfg("int8").model)
     with pytest.raises(ValueError, match="inference-only"):
         model.init(jax.random.PRNGKey(0), _crops(rng, 1), train=True)
+
+
+def test_int8_bundle_export_roundtrip(tmp_path):
+    """An exported int8 bundle must preserve the calibrated quant scales
+    (export serializes all variable collections; load templates them from
+    model.init under the bundled config)."""
+    from metro_pose3d_tpu.export import export_model, load_exported
+
+    rng = np.random.RandomState(3)
+    base = MetroModel(_cfg("none").model)
+    variables = base.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+    calibrated = calibrate(
+        MetroModel(_cfg("calib").model), dict(variables), [_crops(rng)])
+
+    out = str(tmp_path / "bundle")
+    export_model(_cfg("int8"), calibrated, out)
+    cfg2, loaded, fn = load_exported(out)
+    assert cfg2.model.quantize == "int8"
+    want = jax.tree_util.tree_leaves(calibrated["quant"])
+    got = jax.tree_util.tree_leaves(loaded["quant"])
+    assert len(want) == len(got)
+    np.testing.assert_allclose(
+        np.asarray(want, np.float32), np.asarray(got, np.float32))
+    crops_u8 = jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3)), jnp.uint8)
+    intr = jnp.tile(jnp.asarray(
+        [[90.0, 0, 31.5], [0, 90.0, 31.5], [0, 0, 1]], jnp.float32)[None], (2, 1, 1))
+    out = fn(loaded, crops_u8, intr)
+    assert np.isfinite(np.asarray(out["pose3d_rootrel"])).all()
