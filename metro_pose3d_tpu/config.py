@@ -37,9 +37,16 @@ class ModelConfig:
     num_joints: int = 17
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
     # inference-only int8 conv path ("none" | "int8"; "calib" is used
-    # internally by models/quantize.calibrate). 1.66x conv throughput on
-    # v5e, requires a calibration pass — see models/quantize.py.
+    # internally by models/quantize.calibrate). Requires a calibration
+    # pass — see models/quantize.py.
     quantize: str = "none"
+    # which residual stages quantize ("all" or csv of 1..4, matching the
+    # parameter names stage1..stage4; stage4 is the dilated final stage =
+    # torchvision's conv5_x): per-shape int8 rates vary 0.28x-3.29x vs bf16
+    # on v5e (scripts/exp_int8_shapes.py 2026-08-17) — the dilated final
+    # stage wins everywhere, small-channel 1x1s lose, so a stage policy
+    # beats blanket quantization.
+    quantize_stages: str = "all"
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
     # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:

@@ -54,6 +54,7 @@ class MetroModel(nn.Module):
             v2_biases=cfg.v2_biases,
             bn_group_size=cfg.bn_group_size,
             quantize=cfg.quantize,
+            quantize_stages=cfg.quantize_stages,
             name="backbone",
         )(crops, train)
 

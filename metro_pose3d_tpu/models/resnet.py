@@ -361,6 +361,7 @@ class ResNet(nn.Module):
     v2_biases: bool = False  # slim/Keras v2 bias placement (see Bottleneck)
     bn_group_size: int = 0  # 0 = global sync-BN; >0 = ghost-BN group size
     quantize: str = "none"  # inference-only int8 path (models/quantize.py)
+    quantize_stages: str = "all"  # "all" or csv of 1-based stage numbers
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -419,6 +420,11 @@ class ResNet(nn.Module):
                 stage_stride = 1
             elif stage_stride > 1:
                 current_stride *= stage_stride
+            if self.quantize_stages == "all":
+                stage_quant = self.quantize
+            else:
+                allowed = {int(s) for s in self.quantize_stages.split(",") if s}
+                stage_quant = self.quantize if (stage + 1) in allowed else "none"
             strided_unit = (n_blocks - 1) if last_pos else 0
             for i in range(n_blocks):
                 x = block_cls(
@@ -432,7 +438,7 @@ class ResNet(nn.Module):
                     conv_padding=self.conv_padding,
                     v2_biases=self.v2_biases,
                     bn_group_size=self.bn_group_size,
-                    quantize=self.quantize,
+                    quantize=stage_quant,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 

@@ -96,3 +96,24 @@ def test_int8_bundle_export_roundtrip(tmp_path):
         [[90.0, 0, 31.5], [0, 90.0, 31.5], [0, 0, 1]], jnp.float32)[None], (2, 1, 1))
     out = fn(loaded, crops_u8, intr)
     assert np.isfinite(np.asarray(out["pose3d_rootrel"])).all()
+
+
+def test_quantize_stage_policy_limits_scales():
+    """quantize_stages="2" creates quant scales only for stage-2 blocks."""
+    rng = np.random.RandomState(4)
+    cfg = _cfg("calib")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize_stages="2"))
+    model = MetroModel(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+    calibrated = calibrate(model, dict(variables), [_crops(rng)])
+    names = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_leaves_with_path(calibrated["quant"])]
+    assert names and all("stage2_" in n for n in names)
+
+    # and the int8 graph under the same policy runs on those scales
+    cfg8 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+    out3, out2 = MetroModel(cfg8.model).apply(
+        calibrated, _crops(np.random.RandomState(5)), train=False)
+    assert np.isfinite(np.asarray(out3)).all()
