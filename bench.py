@@ -13,6 +13,13 @@ import json
 import time
 
 import jax
+
+# persistent compile cache: the remote-compile service's cold R50 compile
+# varies 3-10 min, which can eat a whole 580 s bench budget; cached reruns
+# skip it entirely (helps the driver's end-of-round run)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
