@@ -110,11 +110,25 @@ def make_predict_fn(
         return out
 
     if from_tiles:
-        def predict(variables, batch):
-            crops = device_augment(
+        def augment(batch):
+            return device_augment(
                 batch, cfg.model.proc_side, train=False,
                 warp_sampler=cfg.aug.warp_sampler,
             )
+
+        if mesh is not None:
+            # Pallas custom calls (two-pass warp kernel) cannot be GSPMD-
+            # partitioned; shard_map runs one kernel grid per device shard
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            augment = shard_map(
+                augment, mesh=mesh, in_specs=(P("data"),),
+                out_specs=P("data"), check_rep=False,
+            )
+
+        def predict(variables, batch):
+            crops = augment(batch)
             return forward(variables, crops, batch["intrinsics"])
     else:
         def predict(variables, crops_uint8, intrinsics):

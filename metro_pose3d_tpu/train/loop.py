@@ -62,11 +62,28 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         jnp.asarray(background_bank) if background_bank is not None else None
     )
 
-    def step(state: TrainState, batch: dict, occ_bank) -> tuple[TrainState, dict]:
-        crops = device_augment(
+    def augment(batch: dict, occ_bank):
+        return device_augment(
             batch, cfg.model.proc_side, occ_bank, train=True,
             background_bank=bg_bank, warp_sampler=cfg.aug.warp_sampler,
         )
+
+    if mesh is not None:
+        # the augment stage contains Pallas custom calls (the two-pass warp
+        # and occluder kernels), which GSPMD cannot partition — run it
+        # under shard_map so each device executes its own kernel grid over
+        # its batch shard (pure per-example math: no cross-shard deps)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        augment = shard_map(
+            augment, mesh=mesh,
+            in_specs=(P("data"), P()), out_specs=P("data"),
+            check_rep=False,
+        )
+
+    def step(state: TrainState, batch: dict, occ_bank) -> tuple[TrainState, dict]:
+        crops = augment(batch, occ_bank)
 
         def loss_fn(params):
             (l3d, l2d), updated = model.apply(
@@ -102,5 +119,12 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         )
 
     if occluder_bank is not None:
-        return functools.partial(jitted, occ_bank=occluder_bank)
+        # positional bind: pjit rejects kwargs when in_shardings is given,
+        # so a keyword partial would crash every MESHED run with occluders
+        bank = occluder_bank
+
+        def bound(state, batch):
+            return jitted(state, batch, bank)
+
+        return bound
     return jitted

@@ -51,6 +51,28 @@ class TestDryrun:
         assert "ok" in capsys.readouterr().out
 
 
+class TestMeshedOccluderStep:
+    def test_meshed_step_with_occluder_bank(self):
+        """Regression: make_train_step(mesh=..., occluder_bank=...) used a
+        KEYWORD partial, which pjit rejects whenever in_shardings is given —
+        every meshed training run with occlusion augmentation crashed. Also
+        covers the shard_map-wrapped augment stage end-to-end on the mesh."""
+        import numpy as np
+
+        cfg = apply_overrides(Config(), TINY)
+        mesh = make_mesh(8)
+        tx = make_optimizer(cfg)
+        state = create_train_state(cfg, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        rng = np.random.default_rng(0)
+        occ = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 4)), jnp.float32)
+        step = make_train_step(cfg, tx, root_index=0, mesh=mesh,
+                               occluder_bank=occ)
+        batch = shard_batch(make_batch(cfg, 16), mesh)
+        state, metrics = step(state, batch)
+        assert jnp.isfinite(metrics["loss"])
+
+
 class TestShardingEquivalence:
     def run_steps(self, n_dev, batch_np, n_steps=2):
         cfg = apply_overrides(Config(), TINY)
