@@ -80,6 +80,14 @@ class AugConfig:
     # kernel on TPU (27x faster, <=1 LSB vs direct bilinear), exact direct
     # gather elsewhere.
     warp_sampler: str = "auto"
+    # Newton iterations of the two-pass sampler's row-crossing inverse
+    # (ops/warp_twopass.py). The closed form is EXACT for distortion-free
+    # cameras, so pipelines whose sources carry no distortion (synthetic,
+    # pre-undistorted) may set 0 and save ~60% of the field computation;
+    # MUST stay >= 2 when any source camera has distortion coefficients.
+    # Static (trace-time): a runtime branch was measured slower (DESIGN
+    # §3.1.1).
+    warp_newton_iters: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

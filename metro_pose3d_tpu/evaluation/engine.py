@@ -114,6 +114,7 @@ def make_predict_fn(
             return device_augment(
                 batch, cfg.model.proc_side, train=False,
                 warp_sampler=cfg.aug.warp_sampler,
+                warp_newton_iters=cfg.aug.warp_newton_iters,
             )
 
         if mesh is not None:

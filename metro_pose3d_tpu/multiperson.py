@@ -78,12 +78,14 @@ def make_multiperson_predict_fn(
                     batch["frame"], batch["warp_h"], batch["warp_k"],
                     batch["warp_dist"], cfg.model.proc_side,
                     sampler=cfg.aug.warp_sampler,
+                    newton_iters=cfg.aug.warp_newton_iters,
                 ) / 255.0
             )
         else:
             crops = device_augment(
                 batch, cfg.model.proc_side, train=False,
                 warp_sampler=cfg.aug.warp_sampler,
+                warp_newton_iters=cfg.aug.warp_newton_iters,
             )
         b = crops.shape[0]
         if flip_tta:

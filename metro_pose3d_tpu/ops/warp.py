@@ -219,7 +219,7 @@ def _pad_for_kernel(sources):
 
 
 def warp_images(sources, h_mats, k_vecs, dists, out_side: int,
-                sampler: str = "auto"):
+                sampler: str = "auto", newton_iters: int = 3):
     """Batched crop warp: [B,Hs,Ws,C] sources -> [B,S,S,C] float32 crops.
 
     sampler:
@@ -248,7 +248,8 @@ def warp_images(sources, h_mats, k_vecs, dists, out_side: int,
         from metro_pose3d_tpu.ops.warp_pallas import warp_images_twopass_pallas
 
         return warp_images_twopass_pallas(
-            _pad_for_kernel(sources), h_mats, k_vecs, dists, out_side
+            _pad_for_kernel(sources), h_mats, k_vecs, dists, out_side,
+            newton_iters=newton_iters,
         )
     if sampler == "packed":
         return _warp_images_packed(sources, h_mats, k_vecs, dists, out_side)
@@ -256,7 +257,7 @@ def warp_images(sources, h_mats, k_vecs, dists, out_side: int,
 
 
 def warp_from_frame(frame_u8, h_mats, k_vecs, dists, out_side: int,
-                    sampler: str = "auto"):
+                    sampler: str = "auto", newton_iters: int = 3):
     """Warp MANY crops out of ONE shared full frame ("frame mode").
 
     frame_u8 [H, W, 3] uint8 (W even); per-crop params in FRAME pixel
@@ -272,7 +273,8 @@ def warp_from_frame(frame_u8, h_mats, k_vecs, dists, out_side: int,
         from metro_pose3d_tpu.ops.warp_pallas import warp_images_twopass_pallas
 
         return warp_images_twopass_pallas(
-            _pad_for_kernel(frame_u8[None]), h_mats, k_vecs, dists, out_side
+            _pad_for_kernel(frame_u8[None]), h_mats, k_vecs, dists, out_side,
+            newton_iters=newton_iters,
         )
     return _warp_images_packed(
         frame_u8[None], h_mats, k_vecs, dists, out_side,

@@ -128,9 +128,10 @@ def _warp_kernel(src_ref, u1_ref, vt_ref, out_ref, *, tile_h, tile_w):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_side",))
+@functools.partial(jax.jit, static_argnames=("out_side", "newton_iters"))
 def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
-                               out_side: int, source_indices=None):
+                               out_side: int, source_indices=None,
+                               newton_iters: int = 3):
     """Two-pass Mosaic warp: [B,TH,TW,3] uint8 -> [B,S,S,3] f32 in [0,255].
 
     Same contract as `warp.warp_images`. Requires TH, TW, S multiples of
@@ -150,7 +151,7 @@ def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
     packed = s32[..., 0] | (s32[..., 1] << 8) | (s32[..., 2] << 16)  # [N,TH,TW]
 
     u1, v, in_front = jax.vmap(
-        lambda h, k, d: twopass_fields(h, k, d, th, s)
+        lambda h, k, d: twopass_fields(h, k, d, th, s, newton_iters)
     )(h_mats, k_vecs, dists)  # [B,TH,S], [B,S,S], [B,S,S]
     vt = jnp.swapaxes(v, 1, 2)  # [B, S(xo), S(yo)]
 

@@ -143,18 +143,20 @@ def _lerp_1d(v0, v1, frac, m0, m1):
     return w0 * jnp.where(mm0, v0, zero) + w1 * jnp.where(mm1, v1, zero)
 
 
-@functools.partial(jax.jit, static_argnames=("out_side",))
-def warp_images_twopass_xla(sources_u8, h_mats, k_vecs, dists, out_side: int):
+@functools.partial(jax.jit, static_argnames=("out_side", "newton_iters"))
+def warp_images_twopass_xla(sources_u8, h_mats, k_vecs, dists, out_side: int,
+                            newton_iters: int = 3):
     """Two-pass warp, plain-XLA formulation (correctness reference + CPU path).
 
     sources_u8 [B, TH, TW, 3] uint8 -> [B, S, S, 3] float32 in [0, 255].
-    Same call contract as `warp.warp_images_reference`.
+    Same call contract as `warp.warp_images_reference`. `newton_iters=0` is
+    exact for distortion-free sources (config `aug.warp_newton_iters`).
     """
     b, th, tw, _ = sources_u8.shape
     s = out_side
 
     u1, v, in_front = jax.vmap(
-        lambda h, k, d: twopass_fields(h, k, d, th, s)
+        lambda h, k, d: twopass_fields(h, k, d, th, s, newton_iters)
     )(h_mats, k_vecs, dists)  # [B,TH,S], [B,S,S], [B,S,S]
 
     s32 = sources_u8.astype(jnp.int32)

@@ -45,7 +45,7 @@ EXAMPLE_SPEC = example_spec  # alias (imported by pipeline/__init__)
 
 def device_augment(batch: dict, proc_side: int, occluder_bank=None,
                    train: bool = True, background_bank=None,
-                   warp_sampler: str = "auto"):
+                   warp_sampler: str = "auto", warp_newton_iters: int = 3):
     """[B,T,T,3] uint8 tiles + params -> [B,S,S,3] normalized float crops.
 
     `occluder_bank`: [N, T2, T2, 4] float32 RGBA in [0,1] (device-resident);
@@ -60,7 +60,7 @@ def device_augment(batch: dict, proc_side: int, occluder_bank=None,
         )
     crops = warp_images(
         source, batch["warp_h"], batch["warp_k"], batch["warp_dist"], proc_side,
-        sampler=warp_sampler,
+        sampler=warp_sampler, newton_iters=warp_newton_iters,
     )
     crops = crops * (1.0 / 255.0)
 

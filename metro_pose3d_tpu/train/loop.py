@@ -66,6 +66,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         return device_augment(
             batch, cfg.model.proc_side, occ_bank, train=True,
             background_bank=bg_bank, warp_sampler=cfg.aug.warp_sampler,
+            warp_newton_iters=cfg.aug.warp_newton_iters,
         )
 
     if mesh is not None:

@@ -174,3 +174,21 @@ def test_dispatcher_auto_off_tpu_is_packed():
     auto = np.asarray(W.warp_images(tiles, h, k, d, side))
     packed = np.asarray(W.warp_images(tiles, h, k, d, side, sampler="packed"))
     np.testing.assert_array_equal(auto, packed)
+
+
+def test_newton_iters_zero_matches_without_distortion():
+    """aug.warp_newton_iters=0 must match the default for distortion-free
+    cameras to float precision (the closed-form inverse is exact there; the
+    Newton steps only re-round it, so a floor() can flip by one ulp — pin
+    GEOMETRIC agreement on ramp images instead of bitwise values)."""
+    rng = np.random.RandomState(7)
+    b, tile, side = 4, 64, 32
+    h, k, d = _params(rng, b, tile, side, perspective=True)
+    for ramp in (
+        np.tile(np.arange(tile, dtype=np.float32)[None, :, None], (tile, 1, 3)),
+        np.tile(np.arange(tile, dtype=np.float32)[:, None, None], (1, tile, 3)),
+    ):
+        tiles = jnp.asarray(np.tile(ramp[None], (b, 1, 1, 1)), jnp.uint8)
+        full = np.asarray(warp_images_twopass_xla(tiles, h, k, d, side, newton_iters=3))
+        zero = np.asarray(warp_images_twopass_xla(tiles, h, k, d, side, newton_iters=0))
+        assert np.abs(full - zero).max() < 1e-2  # source-pixel units
