@@ -68,6 +68,10 @@ class AugConfig:
     rot_max_deg: float = C.AUG_ROT_MAX_DEG
     flip_prob: float = C.AUG_FLIP_PROB
     occlude_prob: float = C.AUG_OCCLUDE_PROB
+    # side (px) of the device-resident occluder RGBA tiles; the VOC cutouts
+    # are area-resized into this square at bank build time
+    # (pipeline/occluders.get_occluder_bank)
+    occluder_tile_side: int = 96
     color_prob: float = C.AUG_COLOR_PROB
     brightness_max: float = 0.125   # additive, on [0,1]-scaled intensities
     contrast_range: float = 0.25

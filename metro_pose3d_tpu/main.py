@@ -20,14 +20,15 @@ import sys
 import jax
 
 
-def _load_variables(cfg):
+def _load_variables(cfg, dataset=None):
     import dataclasses
 
     from metro_pose3d_tpu.train.checkpoint import Checkpointer
     from metro_pose3d_tpu.train.loop import make_optimizer
     from metro_pose3d_tpu.train.state import create_train_state
 
-    if cfg.model.quantize != "none":
+    quantize = cfg.model.quantize
+    if quantize != "none":
         # checkpoints are quantize-agnostic; the train-state template must
         # build the (train-mode) bf16 graph
         cfg = dataclasses.replace(
@@ -37,7 +38,24 @@ def _load_variables(cfg):
     state, step = Checkpointer(logdir).restore(state)
     if step == 0:
         print(f"warning: no checkpoint under {logdir}; using random init")
-    return {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if quantize == "int8":
+        # the int8 graph reads calibrated activation scales from the
+        # "quant" collection; checkpoints don't carry it, so every
+        # evaluation entry point must calibrate here (not just --export)
+        # or Flax fails with an opaque missing-collection error.
+        if dataset is None:
+            raise ValueError(
+                "model.quantize=int8 needs calibration data; this mode has "
+                "no dataset to calibrate on — run --export first or use a "
+                "dataset-driven mode (--test/--test-multiperson/...)"
+            )
+        from metro_pose3d_tpu.models.quantize import calibrate_on_dataset
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize=quantize))
+        variables = calibrate_on_dataset(cfg, variables, dataset)
+    return variables
 
 
 def main(argv=None):
@@ -65,7 +83,7 @@ def main(argv=None):
         from metro_pose3d_tpu.parallel.mesh import make_mesh
 
         dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
-        variables = _load_variables(cfg)
+        variables = _load_variables(cfg, dataset)
         result = predict_dataset(cfg, variables, dataset, mesh=make_mesh())
         path = cfg.eval.pred_path or f"{cfg.train.logdir}/predictions.npz"
         save_predictions(result, path)
@@ -98,7 +116,8 @@ def main(argv=None):
         )
 
         dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
-        result = predict_multiperson_dataset(cfg, _load_variables(cfg), dataset)
+        result = predict_multiperson_dataset(
+            cfg, _load_variables(cfg, dataset), dataset)
         path = cfg.eval.pred_path or f"{cfg.train.logdir}/predictions_mp.npz"
         save_predictions(result, path)
         print(f"saved multi-person predictions to {path}")
@@ -111,7 +130,7 @@ def main(argv=None):
         from metro_pose3d_tpu.evaluation.truncation import evaluate_truncation
 
         dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
-        table = evaluate_truncation(cfg, _load_variables(cfg), dataset)
+        table = evaluate_truncation(cfg, _load_variables(cfg, dataset), dataset)
         print(json.dumps(table, indent=2))
         return 0
 
@@ -119,15 +138,14 @@ def main(argv=None):
     if export:
         from metro_pose3d_tpu.export import export_model
 
-        variables = _load_variables(cfg)
+        dataset = None
         if cfg.model.quantize == "int8":
             # int8 bundles ship calibrated activation scales, from the
             # dataset's deterministic eval crops (models/quantize.py)
             from metro_pose3d_tpu.data import get_dataset
-            from metro_pose3d_tpu.models.quantize import calibrate_on_dataset
 
-            variables = calibrate_on_dataset(
-                cfg, variables, get_dataset(cfg.data.dataset, cfg.data.data_root))
+            dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        variables = _load_variables(cfg, dataset)
         export_model(cfg, variables, export[0].split("=", 1)[1])
         return 0
 

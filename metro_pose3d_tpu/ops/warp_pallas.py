@@ -27,8 +27,14 @@ Kernel layout, grid = (B, S // 128) (one crop x one 128-wide column block):
 The caller transposes back and unpacks in XLA (cheap elementwise/HBM ops)
 and applies the in-front mask. Values round to uint8 after each pass, so
 the kernel path differs from the float-exact direct sampler by <= 1 LSB on
-top of the two-pass geometry (see warp_twopass.py docstring); the direct
-sampler remains the default for golden-pinned eval paths.
+top of the two-pass geometry (see warp_twopass.py docstring). NOTE:
+`aug.warp_sampler` defaults to "auto", which selects THIS kernel for all
+on-TPU crop extraction — train augment, eval from-tiles AND multi-person
+frame mode — so on-chip eval numerics carry the <=1-LSB + sub-pixel
+two-pass deltas; the exact direct sampler is the default only off-TPU
+(the CPU test mesh and the golden suite) and on-TPU via
+`aug.warp_sampler=packed`. Kernel-path numerics are pinned separately by
+the interpret-mode goldens in tests/test_golden.py.
 """
 from __future__ import annotations
 

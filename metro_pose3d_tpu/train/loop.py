@@ -52,11 +52,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     root_index: int = 0, mesh=None, occluder_bank=None,
-                    background_bank=None):
+                    background_bank=None, occluder_packed: bool = False):
     """Build the jitted train step. With `mesh`, inputs/outputs get explicit
     shardings (state replicated, batch split on `data`) and donation.
     `background_bank` ([N,T,T,3] uint8, replicated) enables the 3DHP
-    green-screen replacement for batches carrying "source_mask"."""
+    green-screen replacement for batches carrying "source_mask".
+    `occluder_packed=True` declares that the bank operand passed at call
+    time is the PRE-packed output of `pipeline.device.pack_occluder_bank_for`
+    (pack once at setup rather than in-graph every step)."""
     model = MetroModel(cfg.model)
     bg_bank = (
         jnp.asarray(background_bank) if background_bank is not None else None
@@ -67,6 +70,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             batch, cfg.model.proc_side, occ_bank, train=True,
             background_bank=bg_bank, warp_sampler=cfg.aug.warp_sampler,
             warp_newton_iters=cfg.aug.warp_newton_iters,
+            occluder_packed=occluder_packed,
+            occluder_tile_side=cfg.aug.occluder_tile_side,
         )
 
     if mesh is not None:

@@ -134,8 +134,20 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         log.info("resumed from step %d", start_step)
     state = jax.device_put(state, repl)
 
+    bank_raw = jnp.asarray(
+        get_occluder_bank(occluder_root, tile_side=cfg.aug.occluder_tile_side),
+        jnp.float32,
+    )
+    n_occluders = int(bank_raw.shape[0])
+    # pack ONCE at setup in the format the step's static sampler choice
+    # consumes; the step graph then composites straight from the packed
+    # planes instead of re-packing the float bank every step
+    from metro_pose3d_tpu.pipeline.device import pack_occluder_bank_for
+
     bank = jax.device_put(
-        jnp.asarray(get_occluder_bank(occluder_root, tile_side=96), jnp.float32), repl
+        pack_occluder_bank_for(
+            cfg.aug.warp_sampler, cfg.model.proc_side, bank_raw),
+        repl,
     )
     # 3DHP green-screen background replacement: active when the dataset
     # carries foreground masks and the config asks for it
@@ -147,7 +159,7 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         log.info("background replacement on: bank of %d tiles", len(bg_bank))
     root = dataset.joint_info.names.index(dataset.root_joint)
     step_fn = make_train_step(cfg, tx, root_index=root, mesh=mesh,
-                              background_bank=bg_bank)
+                              background_bank=bg_bank, occluder_packed=True)
 
     total = min(cfg.train.num_steps, max_steps or cfg.train.num_steps)
     from metro_pose3d_tpu.pipeline.loader import prefetch
@@ -156,7 +168,7 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         cfg, dataset, dataset2d,
         n_backgrounds=len(bg_bank) if bg_bank is not None else 0,
         skip_batches=start_step,  # preemption-resume: continue the schedule
-        n_occluders=int(bank.shape[0]),
+        n_occluders=n_occluders,
     ))
     from metro_pose3d_tpu.train.loop import make_lr_schedule
     from metro_pose3d_tpu.utils.writers import MetricWriter

@@ -116,6 +116,11 @@ class _FrameCache:
                 return img
             self.misses += 1
         img = imread(path)  # decode OUTSIDE the lock (threads overlap)
+        # Enforce the read-only contract: downstream code aliases cached
+        # frames (np.ascontiguousarray returns the SAME object for
+        # contiguous input), so an accidental in-place edit must raise
+        # instead of corrupting every later crop of this frame.
+        img.flags.writeable = False
         with self._lock:
             if path not in self._entries:
                 self._entries[path] = img

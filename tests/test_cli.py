@@ -49,6 +49,24 @@ def test_test_mode_end_to_end(tmp_path):
     assert main(["--eval-h36m", f"--eval.pred_path={pred_path}"]) == 0
 
 
+def test_test_mode_int8_calibrates(tmp_path):
+    """ADVICE r2 (medium): --test with model.quantize=int8 must calibrate
+    in _load_variables — previously only --export did, and the int8 graph
+    crashed on the missing 'quant' collection."""
+    pred_path = tmp_path / "preds_int8.npz"
+    rc = main([
+        "--test", "--data.dataset=synthetic",
+        "--model.backbone=tiny", "--model.proc_side=64", "--model.depth=4",
+        "--model.compute_dtype=float32", "--model.quantize=int8",
+        "--data.source_side=128", "--eval.batch_size=8",
+        "--eval.flip_tta=false",
+        f"--train.logdir={tmp_path}", f"--eval.pred_path={pred_path}",
+    ])
+    assert rc == 0
+    data = np.load(pred_path, allow_pickle=True)
+    assert np.isfinite(data["pose3d_rootrel"]).all()
+
+
 def test_export_int8_calibrates_and_bundles(tmp_path):
     """--export with model.quantize=int8: calibrate on the dataset's eval
     crops, ship the quant scales in the bundle, reload and predict."""

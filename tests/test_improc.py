@@ -165,6 +165,25 @@ class TestFrameCache:
         assert paths[-1] in cache._entries
         assert paths[0] not in cache._entries
 
+    def test_cached_frames_are_read_only(self, tmp_path):
+        """ADVICE r2: downstream code aliases cached frames (e.g. via
+        np.ascontiguousarray, which returns the SAME object), so an
+        accidental in-place edit must raise instead of corrupting the
+        cache for every later crop of that frame."""
+        import pytest
+
+        from metro_pose3d_tpu.utils.improc import _FrameCache
+
+        cache = _FrameCache(budget_mb=64)
+        [p] = self._write_jpegs(tmp_path, 1)
+        img = cache.get(p)
+        with pytest.raises(ValueError):
+            img[0, 0, 0] = 0
+        alias = np.ascontiguousarray(img)
+        if alias is img:  # aliasing case the guard exists for
+            with pytest.raises(ValueError):
+                alias[:] = 0
+
     def test_threaded_access_consistent(self, tmp_path):
         from concurrent.futures import ThreadPoolExecutor
 
