@@ -13,7 +13,8 @@ Like the H36M builder, this reads a preprocessed layout written by
     $DATA_ROOT/3dhp/annotations_{train,test}.npz with arrays
         image_paths [N], world_coords [N,17,3] mm, valid [N] bool
         intrinsics [N,3,3], rotations [N,3,3], positions [N,3]
-        mask_paths [N] ('' when absent), univ_scale [N] (test only)
+        mask_paths [N] ('' when absent), univ_scale [N] + activities [N]
+        (test only)
 """
 from __future__ import annotations
 
@@ -31,6 +32,12 @@ ANNOT28_TO_17 = np.array(
     [7, 5, 14, 15, 16, 9, 10, 11, 23, 24, 25, 18, 19, 20, 4, 3, 6], np.int32
 )
 CHEST_HEIGHT_CAMERAS = (0, 1, 2, 4, 5, 6, 7, 8)
+# official test-set activity classes 1..7 (annot_data.mat
+# `activity_annotation`) -> the protocol's per-activity table rows
+ACTIVITY_NAMES = (
+    "Stand/Walk", "Exercise", "Sit(Chair)", "Reach/Crouch",
+    "OnFloor", "Sports", "Misc",
+)
 
 
 class Mpi3dhpDataset:
@@ -93,9 +100,23 @@ class Mpi3dhpDataset:
         return self._example(self._test, i)
 
     def test_group_label(self, i: int) -> str:
-        """Test-sequence label (TS1..TS6) for the per-set protocol table."""
+        """Protocol grouping label for the per-activity PCK table (the
+        official seven activity classes) when the prepared shard carries
+        them; falls back to the TS1..TS6 sequence label otherwise."""
+        if "activities" in self._test:
+            act = str(self._test["activities"][i])
+            if act:
+                return act
         path = str(self._test["image_paths"][i])
         for part in path.split(os.sep):
             if part.startswith("TS"):
                 return part
         return "unknown"
+
+    def test_univ_scale(self, i: int) -> float:
+        """Per-example universal-skeleton scale (univ_annot3 / annot3 norm
+        ratio): multiplies root-relative GT for the protocol's
+        height-normalized ("universal") variant."""
+        if "univ_scale" in self._test:
+            return float(self._test["univ_scale"][i])
+        return 1.0

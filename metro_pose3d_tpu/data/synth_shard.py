@@ -115,14 +115,154 @@ def write_synthetic_h36m_shard(
     return out
 
 
+def _render_fg_mask(ex, imshape) -> np.ndarray:
+    """Foreground mask for a synthetic scene: the joint discs, white on
+    black (a stand-in for the 3DHP green-screen FGmasks). Slightly dilated
+    so JPEG ringing at disc edges stays inside the mask."""
+    import cv2
+
+    h, w = imshape
+    mask = np.zeros((h, w), np.uint8)
+    px = ex.camera.world_to_image(ex.world_coords)
+    depth = float(np.mean(ex.world_coords[:, 2]))
+    radius = max(2, int(180 / depth * ex.camera.K[0, 0] / 55)) + 3
+    for p in px:
+        if np.all(np.isfinite(p)):
+            cv2.circle(mask, (int(round(p[0])), int(round(p[1]))), radius,
+                       255, -1)
+    return mask
+
+
+def write_synthetic_3dhp_shard(
+    data_root: str,
+    train_sequences=((1, "Seq1", (0, 2)), (2, "Seq1", (1, 5))),
+    test_sets=("TS1", "TS2"),
+    frames_per_camera: int = 3,
+    frames_per_test_set: int = 6,
+    seed: int = 1,
+    imshape=(512, 512),
+    jpeg_quality: int = 95,
+) -> str:
+    """Write a deterministic mini-3DHP under `data_root`/3dhp in the EXACT
+    layout `scripts/prepare_3dhp.py` emits (VERDICT r2 next-round #1):
+
+      frames/S{s}/{seq}/cam{c}/frame_%06d.jpg   (step-5 numbering)
+      frames/S{s}/{seq}/mask{c}/frame_%06d.jpg  (green-screen FG masks)
+      mpi_inf_3dhp_test_set/TS{n}/imageSequence/img_%06d.jpg (1-indexed)
+      annotations_train.npz / annotations_test.npz
+
+    Train rows carry masks (exercising the background-replacement chain
+    from disk); test rows carry activities + univ_scale (exercising the
+    per-activity PCK table and the universal-skeleton rescale) and a few
+    deliberately invalid frames (exercising the valid-frame filter).
+    Byte-deterministic for fixed arguments.
+    """
+    import cv2
+
+    root = os.path.join(data_root, "3dhp")
+    keys = ("image_paths", "world_coords", "valid", "intrinsics",
+            "rotations", "positions", "mask_paths")
+    train = {k: [] for k in keys}
+    scene_idx = 0
+    seq_i = 0
+    for subj, seq, cams in train_sequences:
+        for cam_idx in cams:
+            yaw = seq_i * 2.399963
+            seq_i += 1
+            r_wc = _R_BASE @ _rz(-yaw)
+            center = np.array(
+                [1400.0 * np.cos(yaw), 1400.0 * np.sin(yaw), 1000.0 + 90.0 * seq_i]
+            )
+            img_rel = os.path.join("frames", f"S{subj}", seq, f"cam{cam_idx}")
+            mask_rel = os.path.join("frames", f"S{subj}", seq, f"mask{cam_idx}")
+            os.makedirs(os.path.join(root, img_rel), exist_ok=True)
+            os.makedirs(os.path.join(root, mask_rel), exist_ok=True)
+            for k in range(frames_per_camera):
+                ex = make_example(scene_idx, seed=seed, imshape=imshape)
+                scene_idx += 1
+                world = ex.world_coords @ r_wc + center
+                fr = k * 5  # prepare_3dhp FRAME_STEP naming
+                img_path = os.path.join(img_rel, f"frame_{fr:06d}.jpg")
+                mask_path = os.path.join(mask_rel, f"frame_{fr:06d}.jpg")
+                ok = cv2.imwrite(
+                    os.path.join(root, img_path), ex.image[..., ::-1],
+                    [int(cv2.IMWRITE_JPEG_QUALITY), jpeg_quality])
+                ok &= cv2.imwrite(
+                    os.path.join(root, mask_path), _render_fg_mask(ex, imshape),
+                    [int(cv2.IMWRITE_JPEG_QUALITY), jpeg_quality])
+                if not ok:
+                    raise IOError(f"could not write {img_path}")
+                train["image_paths"].append(img_path)
+                train["world_coords"].append(world)
+                train["valid"].append(True)
+                train["intrinsics"].append(ex.camera.K)
+                train["rotations"].append(r_wc)
+                train["positions"].append(center)
+                train["mask_paths"].append(mask_path)
+    np.savez_compressed(
+        os.path.join(root, "annotations_train.npz"),
+        image_paths=np.array(train["image_paths"]),
+        world_coords=np.array(train["world_coords"], np.float32),
+        valid=np.array(train["valid"], bool),
+        intrinsics=np.array(train["intrinsics"], np.float32),
+        rotations=np.array(train["rotations"], np.float32),
+        positions=np.array(train["positions"], np.float32),
+        mask_paths=np.array(train["mask_paths"]),
+    )
+
+    from metro_pose3d_tpu.data.mpi_inf_3dhp import ACTIVITY_NAMES
+
+    test = {k: [] for k in keys + ("univ_scale", "activities")}
+    for ts_i, ts in enumerate(test_sets):
+        rel = os.path.join("mpi_inf_3dhp_test_set", ts, "imageSequence")
+        os.makedirs(os.path.join(root, rel), exist_ok=True)
+        for k in range(frames_per_test_set):
+            ex = make_example(scene_idx, seed=seed + 500, imshape=imshape)
+            scene_idx += 1
+            img_path = os.path.join(rel, f"img_{k + 1:06d}.jpg")
+            ok = cv2.imwrite(
+                os.path.join(root, img_path), ex.image[..., ::-1],
+                [int(cv2.IMWRITE_JPEG_QUALITY), jpeg_quality])
+            if not ok:
+                raise IOError(f"could not write {img_path}")
+            test["image_paths"].append(img_path)
+            # test annotations are camera-frame (R = I), like the release
+            test["world_coords"].append(ex.world_coords)
+            test["valid"].append(k % 5 != 4)  # some officially-skipped frames
+            test["intrinsics"].append(ex.camera.K)
+            test["rotations"].append(np.eye(3))
+            test["positions"].append(np.zeros(3))
+            test["mask_paths"].append("")
+            test["univ_scale"].append(0.9 + 0.02 * ((ts_i * 7 + k) % 6))
+            test["activities"].append(
+                ACTIVITY_NAMES[(ts_i * 3 + k) % len(ACTIVITY_NAMES)])
+    np.savez_compressed(
+        os.path.join(root, "annotations_test.npz"),
+        image_paths=np.array(test["image_paths"]),
+        world_coords=np.array(test["world_coords"], np.float32),
+        valid=np.array(test["valid"], bool),
+        intrinsics=np.array(test["intrinsics"], np.float32),
+        rotations=np.array(test["rotations"], np.float32),
+        positions=np.array(test["positions"], np.float32),
+        mask_paths=np.array(test["mask_paths"]),
+        univ_scale=np.array(test["univ_scale"], np.float32),
+        activities=np.array(test["activities"]),
+    )
+    return os.path.join(root, "annotations_test.npz")
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--frames-per-sequence", type=int, default=4)
+    ap.add_argument("--dataset", choices=("h36m", "3dhp"), default="h36m")
     args = ap.parse_args()
-    path = write_synthetic_h36m_shard(
-        args.data_root, frames_per_sequence=args.frames_per_sequence
-    )
+    if args.dataset == "3dhp":
+        path = write_synthetic_3dhp_shard(args.data_root)
+    else:
+        path = write_synthetic_h36m_shard(
+            args.data_root, frames_per_sequence=args.frames_per_sequence
+        )
     print(f"wrote {path}")

@@ -27,6 +27,15 @@ def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
         "auc": auc(pred, gt, valid=valid),
         "mpjpe": mpjpe(pred, gt, valid),
     }
+    if "univ_scale" in data:
+        # universal-skeleton protocol: GT rescaled onto the height-normalized
+        # skeleton (univ_annot3); predictions are expected to be bone-length
+        # rescaled upstream (eval.scale_recovery=bone_lengths), so only GT
+        # changes here
+        gt_univ = gt * np.asarray(data["univ_scale"], np.float32)[:, None, None]
+        result["pck_150_univ"] = pck(pred, gt_univ, valid=valid)
+        result["auc_univ"] = auc(pred, gt_univ, valid=valid)
+        result["mpjpe_univ"] = mpjpe(pred, gt_univ, valid)
     # The dump path (`predict.predict_dataset`) stores group labels under the
     # generic "actions" key for every dataset (H36M actions, 3DHP activities);
     # accept the legacy "activities" spelling for old dumps. (VERDICT r2

@@ -157,6 +157,12 @@ def predict_dataset(
         result["actions"] = np.array(
             [dataset.test_group_label(offset + i) for i in range(n)]
         )
+    if hasattr(dataset, "test_univ_scale"):
+        # 3DHP universal-skeleton protocol: per-example scale that maps
+        # root-relative GT onto the height-normalized skeleton
+        result["univ_scale"] = np.array(
+            [dataset.test_univ_scale(offset + i) for i in range(n)], np.float32
+        )
     result["joint_names"] = np.array(ji.names)
     result["example_offset"] = np.int64(offset)
     return result

@@ -6,7 +6,8 @@
     $DATA_ROOT/3dhp/annotations_test.npz
         image_paths [N], world_coords [N,17,3] mm, valid [N] bool,
         intrinsics [N,3,3], rotations [N,3,3], positions [N,3],
-        mask_paths [N] ('' when absent), univ_scale [N] (test only)
+        mask_paths [N] ('' when absent), univ_scale [N] +
+        activities [N] (test only)
     $DATA_ROOT/3dhp/frames/...  (ffmpeg-extracted)
 
 Official inputs (get_3dhp.sh):
@@ -137,9 +138,11 @@ def prepare_train(root: str):
 def prepare_test(root: str):
     from scipy.io import loadmat
 
+    from metro_pose3d_tpu.data.mpi_inf_3dhp import ACTIVITY_NAMES
+
     rows = {k: [] for k in ("image_paths", "world_coords", "valid",
                             "intrinsics", "rotations", "positions",
-                            "mask_paths", "univ_scale")}
+                            "mask_paths", "univ_scale", "activities")}
     test_root = None
     for cand in ("mpi_inf_3dhp_test_set", "test"):
         if os.path.isdir(os.path.join(root, cand)):
@@ -158,6 +161,15 @@ def prepare_test(root: str):
         a3 = np.asarray(data["annot3"]).reshape(-1, 17, 3)
         univ = np.asarray(data["univ_annot3"]).reshape(-1, 17, 3)
         valid = np.asarray(data["valid_frame"]).reshape(-1).astype(bool)
+        # per-frame activity class 1..7 -> protocol activity name (the
+        # per-activity PCK table of the official evaluation); absent in
+        # some re-releases -> empty labels (table simply omitted downstream)
+        if "activity_annotation" in data:
+            act_ids = np.asarray(data["activity_annotation"]).reshape(-1).astype(int)
+            acts = [ACTIVITY_NAMES[i - 1] if 1 <= i <= len(ACTIVITY_NAMES)
+                    else "unknown" for i in act_ids]
+        else:
+            acts = [""] * len(a3)
         # official test intrinsics (publicly documented): f=7.32506e+02...
         # stored per-set when available, else the standard test-camera K
         K = np.array([[1497.693, 0, 1024.704],
@@ -177,6 +189,7 @@ def prepare_test(root: str):
             rows["positions"].append(np.zeros(3))
             rows["mask_paths"].append("")
             rows["univ_scale"].append(scale)
+            rows["activities"].append(acts[fr])
         print(f"{ts}: {valid.sum()} valid frames")
     return rows
 
@@ -196,6 +209,8 @@ def _save(root, fname, rows):
     }
     if "univ_scale" in rows and rows["univ_scale"]:
         arrays["univ_scale"] = np.array(rows["univ_scale"], np.float32)
+    if "activities" in rows and rows["activities"]:
+        arrays["activities"] = np.array(rows["activities"])
     out = os.path.join(root, fname)
     np.savez_compressed(out, **arrays)
     print(f"wrote {out} ({len(rows['image_paths'])} examples)")
