@@ -251,6 +251,83 @@ def write_synthetic_3dhp_shard(
     return os.path.join(root, "annotations_test.npz")
 
 
+def write_synthetic_mpii_release(
+    data_root: str, n_images: int = 6, seed: int = 2, imshape=(360, 480),
+    jpeg_quality: int = 95,
+) -> str:
+    """Write a deterministic mini-MPII under `data_root`/mpii in the OFFICIAL
+    release layout (VERDICT r2 next-round #9): images/*.jpg plus a
+    mpii_human_pose_v1_u12_1.mat whose RELEASE struct walk matches what
+    `scripts/prepare_mpii.py` parses (annolist[i].image.name,
+    .annorect[].annopoints.point[].{id,x,y,is_visible}, .objpos, .scale,
+    img_train) — so the prepare script itself is exercisable without the
+    licensed tarball. Includes a test image (skipped), a rect without
+    annopoints (skipped), and an under-annotated rect (skipped).
+    """
+    import cv2
+    from scipy.io import savemat
+
+    root = os.path.join(data_root, "mpii")
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h, w = imshape
+
+    def make_points(coords, valid):
+        pts = []
+        for j, (xy, v) in enumerate(zip(coords, valid)):
+            if not v:
+                continue
+            pts.append({"id": float(j), "x": float(xy[0]), "y": float(xy[1]),
+                        "is_visible": "1" if j % 3 else "0"})
+        return np.array(pts, dtype=object)
+
+    annolist = []
+    img_train = []
+    for i in range(n_images):
+        name = f"{1000 + i:09d}.jpg"
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        coords = np.stack([rng.uniform(40, w - 40, 16),
+                           rng.uniform(40, h - 40, 16)], -1)
+        for xy in coords:
+            cv2.circle(img, (int(xy[0]), int(xy[1])), 4,
+                       tuple(int(v) for v in rng.integers(100, 255, 3)), -1)
+        if not cv2.imwrite(os.path.join(root, "images", name), img[..., ::-1],
+                           [int(cv2.IMWRITE_JPEG_QUALITY), jpeg_quality]):
+            raise IOError(name)
+        valid = rng.random(16) > 0.15
+        center = coords[valid].mean(0)
+        rect = {
+            "annopoints": {"point": make_points(coords, valid)},
+            "objpos": {"x": float(center[0]), "y": float(center[1])},
+            "scale": float(rng.uniform(0.8, 1.6)),
+        }
+        rects = [rect]
+        if i == 1:  # second person on the same frame, box from joint extent
+            c2 = np.stack([rng.uniform(40, w - 40, 16),
+                           rng.uniform(40, h - 40, 16)], -1)
+            rects.append({"annopoints": {"point": make_points(c2, np.ones(16, bool))}})
+        if i == 2:  # detector-style rect without annotations -> skipped
+            rects.append({"objpos": {"x": 10.0, "y": 10.0}, "scale": 1.0})
+        if i == 3:  # under-annotated rect (1 joint) -> skipped
+            one = np.zeros(16, bool)
+            one[0] = True
+            rects.append({"annopoints": {"point": make_points(coords, one)},
+                          "objpos": {"x": 5.0, "y": 5.0}, "scale": 0.5})
+        annolist.append({"image": {"name": name},
+                         "annorect": np.array(rects, dtype=object)})
+        img_train.append(1)
+    # one withheld test image (img_train == 0) that must not be parsed
+    annolist.append({"image": {"name": "nonexistent_test.jpg"}})
+    img_train.append(0)
+
+    mat_path = os.path.join(root, "mpii_human_pose_v1_u12_1.mat")
+    savemat(mat_path, {"RELEASE": {
+        "annolist": np.array(annolist, dtype=object),
+        "img_train": np.array(img_train, np.int64),
+    }})
+    return mat_path
+
+
 if __name__ == "__main__":
     import argparse
 
