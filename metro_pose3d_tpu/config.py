@@ -102,6 +102,11 @@ class DataConfig:
     cache_dir: str = "/data/cache"
     source_side: int = 512          # fixed host->device source-tile side
     workers: int = 4
+    # "thread" (decode releases the GIL; fine for <=2 cores) | "process"
+    # (spawn workers; needed on real hosts where prepare_example's Python
+    # 3x3 algebra is GIL-bound — BASELINE.md puts it at ~4.5 cores/chip at
+    # the 5k crops/s target)
+    pool_type: str = "thread"
     test_box_expansion: float = C.TEST_BOX_EXPANSION
 
 

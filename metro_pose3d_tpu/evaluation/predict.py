@@ -8,6 +8,7 @@ predictions gather to host.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -21,6 +22,12 @@ from metro_pose3d_tpu.parallel.mesh import shard_batch
 from metro_pose3d_tpu.pipeline.loader import batch_iterator
 
 log = logging.getLogger("metro_tpu.predict")
+
+
+def _offset_test_example(dataset, offset: int, i: int):
+    """Module-level (picklable) accessor: process-pool loaders ship this
+    with the dataset instead of an unpicklable closure."""
+    return dataset.test_example(offset + i)
 
 
 def compute_mean_bones(dataset, n_examples: int = 512) -> np.ndarray:
@@ -109,10 +116,12 @@ def predict_dataset(
     else:
         offset, n = 0, n_total
     it = batch_iterator(
-        lambda i: dataset.test_example(offset + i), n, ji, cfg.eval.batch_size,
+        functools.partial(_offset_test_example, dataset, offset),
+        n, ji, cfg.eval.batch_size,
         cfg.model.proc_side, cfg.data.source_side, aug_cfg=None,
         shuffle=False, max_epochs=1, drop_remainder=False,
         n_workers=cfg.data.workers, box_expansion=cfg.data.test_box_expansion,
+        pool_type=cfg.data.pool_type,
     )
     outs = {"pose3d_rootrel": [], "pose3d_abs": [], "pose2d_px": []}
     gts = {"gt3d_rootrel": [], "gt3d_abs": [], "valid": []}

@@ -10,12 +10,19 @@ Responsibility-parity with the reference's `parallel_preproc.py` (SURVEY.md
   §5.5).
 * Multi-host sharding: each host iterates only indices
   `host_id::host_count` of the shuffled epoch order.
-* Workers are threads by default (prep is numpy/cv2 which release the GIL;
-  this image has 1 CPU anyway); the API accepts a process pool drop-in.
+* Workers are threads by default (cv2/libjpeg decode releases the GIL and
+  this image has 1 CPU); `pool_type="process"` switches to a spawn-based
+  ProcessPoolExecutor for real hosts, where `prepare_example`'s Python-level
+  3x3 algebra (~0.9 ms/example, BASELINE.md) is GIL-bound and needs ~4.5
+  cores/chip at the 5k target. Each worker process receives the dataset
+  accessor ONCE (pool initializer), tasks ship only (index, rng key), and
+  the (seed, epoch, idx) contract makes both pool types produce identical
+  batches (tests/test_pipeline.py pins thread/process equivalence).
 """
 from __future__ import annotations
 
 import concurrent.futures as _futures
+import multiprocessing
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -92,6 +99,28 @@ def prepare_one(
     )
 
 
+# --- process-pool plumbing --------------------------------------------------
+# Worker state installed once per process by the pool initializer; tasks then
+# ship only (example index, rng key). Spawn (not fork): the parent holds JAX /
+# TPU-runtime threads that must not be duplicated, and workers stay JAX-free.
+_WORKER_STATE: dict = {}
+
+
+def _init_worker(get_example, joint_info, proc_side, tile_side, aug_cfg,
+                 n_occluders, box_expansion, n_backgrounds):
+    _WORKER_STATE["args"] = (get_example, joint_info, proc_side, tile_side,
+                             aug_cfg, n_occluders, box_expansion, n_backgrounds)
+
+
+def _prep_in_worker(task):
+    i, rng_key = task
+    (get_example, joint_info, proc_side, tile_side, aug_cfg,
+     n_occluders, box_expansion, n_backgrounds) = _WORKER_STATE["args"]
+    ex = get_example(int(i))
+    return prepare_one(ex, joint_info, proc_side, tile_side, aug_cfg,
+                       rng_key, n_occluders, box_expansion, n_backgrounds)
+
+
 def batch_iterator(
     get_example: Callable[[int], Example],
     n_examples: int,
@@ -111,6 +140,7 @@ def batch_iterator(
     n_backgrounds: int = 0,
     skip_batches: int = 0,
     n_occluders: int = 1,
+    pool_type: str = "thread",
 ) -> Iterator[dict]:
     """Stream batched host-prepared examples, epoch after epoch.
 
@@ -119,8 +149,26 @@ def batch_iterator(
     forever unless `max_epochs` is given; evaluation does one deterministic,
     unshuffled pass (pass shuffle=False, max_epochs=1) and pads the tail batch
     when drop_remainder=False (callers mask with the returned "_pad" field).
+
+    `pool_type="process"` runs decode + prep in spawn-based worker PROCESSES
+    (config `data.pool_type`); `get_example` must then be picklable (dataset
+    bound methods and functools.partial over them are; closures are not) and
+    the caller's entry point needs the standard `if __name__ == "__main__"`
+    guard (spawn re-imports __main__). Batches are identical across pool
+    types by the (seed, epoch, idx) rng contract.
     """
-    pool = _futures.ThreadPoolExecutor(max_workers=max(n_workers, 1))
+    if pool_type == "process":
+        pool = _futures.ProcessPoolExecutor(
+            max_workers=max(n_workers, 1),
+            mp_context=multiprocessing.get_context("spawn"),
+            initializer=_init_worker,
+            initargs=(get_example, joint_info, proc_side, tile_side, aug_cfg,
+                      n_occluders, box_expansion, n_backgrounds),
+        )
+    elif pool_type == "thread":
+        pool = _futures.ThreadPoolExecutor(max_workers=max(n_workers, 1))
+    else:
+        raise ValueError(f"pool_type must be thread|process, got {pool_type!r}")
     epoch = 0
     try:
         while max_epochs is None or epoch < max_epochs:
@@ -129,13 +177,25 @@ def batch_iterator(
                 np.random.default_rng((seed, epoch)).shuffle(order)
             local = order[host_id::host_count]
 
-            def prep(i):
-                ex = get_example(int(i))
-                return prepare_one(
-                    ex, joint_info, proc_side, tile_side, aug_cfg,
-                    (seed, epoch, int(i)), n_occluders, box_expansion,
-                    n_backgrounds,
-                )
+            if pool_type == "process":
+                _epoch = epoch
+
+                def prep_map(chunk):
+                    return pool.map(
+                        _prep_in_worker,
+                        [(int(i), (seed, _epoch, int(i))) for i in chunk],
+                    )
+            else:
+                def prep(i):
+                    ex = get_example(int(i))
+                    return prepare_one(
+                        ex, joint_info, proc_side, tile_side, aug_cfg,
+                        (seed, epoch, int(i)), n_occluders, box_expansion,
+                        n_backgrounds,
+                    )
+
+                def prep_map(chunk):
+                    return pool.map(prep, chunk)
 
             for start in range(0, len(local), batch_size):
                 chunk = local[start : start + batch_size]
@@ -151,14 +211,14 @@ def batch_iterator(
                     if drop_remainder:
                         break
                     pad = batch_size - len(chunk)
-                    prepared = list(pool.map(prep, chunk))
+                    prepared = list(prep_map(chunk))
                     batch = stack_examples(prepared + [prepared[-1]] * pad)
                     batch["_pad"] = np.concatenate(
                         [np.ones(len(chunk), np.float32), np.zeros(pad, np.float32)]
                     )
                     yield batch
                     break
-                batch = stack_examples(list(pool.map(prep, chunk)))
+                batch = stack_examples(list(prep_map(chunk)))
                 batch["_pad"] = np.ones(batch_size, np.float32)
                 yield batch
             epoch += 1

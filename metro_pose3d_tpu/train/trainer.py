@@ -56,7 +56,7 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0,
         seed=cfg.train.seed, n_workers=cfg.data.workers,
         host_id=jax.process_index(), host_count=nproc,
         n_backgrounds=n_backgrounds, skip_batches=skip_batches,
-        n_occluders=n_occluders,
+        n_occluders=n_occluders, pool_type=cfg.data.pool_type,
     )
     if dataset2d is None or cfg.train.batch_size_2d == 0:
         yield from it3d
@@ -68,18 +68,15 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0,
         )
     mapping = name_mapping(dataset2d.joint_info, ji)
 
-    def get2d(i):
-        return dataset2d.train_example(i)
-
     def prep2d_batchify():
         it = batch_iterator(
-            get2d, dataset2d.n_train, dataset2d.joint_info,
+            dataset2d.train_example, dataset2d.n_train, dataset2d.joint_info,
             cfg.train.batch_size_2d // nproc,
             cfg.model.proc_side, cfg.data.source_side, aug_cfg=cfg.aug,
             seed=cfg.train.seed + 1, n_workers=cfg.data.workers,
             host_id=jax.process_index(), host_count=jax.process_count(),
             n_backgrounds=n_backgrounds, skip_batches=skip_batches,
-            n_occluders=n_occluders,
+            n_occluders=n_occluders, pool_type=cfg.data.pool_type,
         )
         yield from it
 

