@@ -12,8 +12,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+# sitecustomize force-imports jax on the axon TPU platform at interpreter
+# start; pin the config to CPU BEFORE any package import creates device
+# arrays (host-side probe must not touch the tunnel)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
