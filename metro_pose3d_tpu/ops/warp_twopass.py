@@ -42,56 +42,90 @@ import jax.numpy as jnp
 
 _EPS_Z = 1e-9
 
+# Per-crop scalar parameter vector layout (the kernel reads these 18 floats
+# from SMEM; see `pack_params`): h00..h22 (row-major 3x3 homography), fx,
+# fy, cx, cy, then the OpenCV distortion k1, k2, p1, p2, k3.
+N_PARAMS = 18
 
-def _normalized_from_h(h_mat, x, y):
-    """Homography part of the inverse map: output px -> normalized src coords.
 
-    Returns (xn, yn, z) with the same z>0 guard as `warp.warp_coords`.
+def pack_params(h_mats, k_vecs, dists):
+    """[B,3,3] + [B,4] + [B,5] -> [B,18] float32 (kernel SMEM layout)."""
+    return jnp.concatenate(
+        [h_mats.reshape(-1, 9), k_vecs, dists], axis=1
+    ).astype(jnp.float32)
+
+
+def swapped_params(h_mats, k_vecs, dists):
+    """Params of the TRANSPOSED-source route: sampling src.T with these maps
+    each output pixel to (v, u) — i.e. the same source texel, because
+    src.T[u, v] == src[v, u]. Exact for the full model: swapping the u/v
+    rows of H swaps (xn, yn); swapping p1/p2 then swaps (xd, yd) (the
+    radial term is symmetric); swapping (fx,cx)/(fy,cy) swaps the pixel
+    map. Dodges the Catmull-Smith bottleneck: pass 1 then divides by the
+    COMPLEMENTARY rotation coefficient (ADVICE r2: h11 - w*h21 -> 0 near
+    +-90 deg in-plane rotation made the default route silently garbage)."""
+    h_sw = jnp.stack([h_mats[:, 1], h_mats[:, 0], h_mats[:, 2]], axis=1)
+    k_sw = k_vecs[:, jnp.array([1, 0, 3, 2])]
+    d_sw = dists[:, jnp.array([0, 1, 3, 2, 4])]
+    return h_sw, k_sw, d_sw
+
+
+def choose_swap(h_mats, k_vecs, dists, tile_h: int, tile_w: int):
+    """[B] bool: route crop b through the transposed-source kernel.
+
+    Conditioning of the pass-1 row-crossing solve at the tile-center row:
+    den = h11 - w*h21 (default) vs h01 - w'*h21 (swapped). Swap only when
+    the default is MUCH worse (0.25x), so ordinary crops keep the round-2
+    route bit-for-bit and only the near +-90-deg band reroutes."""
+    fx, fy, cx, cy = (k_vecs[:, i] for i in range(4))
+    w0 = (tile_h / 2.0 - cy) / fy
+    den0 = jnp.abs(h_mats[:, 1, 1] - w0 * h_mats[:, 2, 1])
+    w1 = (tile_w / 2.0 - cx) / fx
+    den1 = jnp.abs(h_mats[:, 0, 1] - w1 * h_mats[:, 2, 1])
+    return den0 < 0.25 * den1
+
+
+def map_uv_scalars(p, x, y):
+    """Full inverse map from the 18-scalar vector `p` (see N_PARAMS).
+
+    Elementwise over broadcastable x, y; returns (u, v, in_front). This is
+    the shared field math: the XLA path calls it with full grids, the
+    Mosaic kernel with per-block iotas and SMEM scalars.
     """
-    px = h_mat[0, 0] * x + h_mat[0, 1] * y + h_mat[0, 2]
-    py = h_mat[1, 0] * x + h_mat[1, 1] * y + h_mat[1, 2]
-    pz = h_mat[2, 0] * x + h_mat[2, 1] * y + h_mat[2, 2]
+    px = p[0] * x + p[1] * y + p[2]
+    py = p[3] * x + p[4] * y + p[5]
+    pz = p[6] * x + p[7] * y + p[8]
     in_front = pz > _EPS_Z
     zsafe = jnp.where(in_front, pz, 1.0)
-    return px / zsafe, py / zsafe, in_front
-
-
-def _distort(xn, yn, dist):
-    k1, k2, p1, p2, k3 = (dist[i] for i in range(5))
+    xn = px / zsafe
+    yn = py / zsafe
+    k1, k2, p1, p2, k3 = p[13], p[14], p[15], p[16], p[17]
     r2 = xn * xn + yn * yn
     radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
     xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
     yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
-    return xd, yd
+    return xd * p[9] + p[11], yd * p[10] + p[12], in_front
 
 
-def _map_uv(h_mat, k_vec, dist, x, y):
-    """Full inverse map (identical math to `warp.warp_coords`)."""
-    xn, yn, in_front = _normalized_from_h(h_mat, x, y)
-    xd, yd = _distort(xn, yn, dist)
-    fx, fy, cx, cy = (k_vec[i] for i in range(4))
-    return xd * fx + cx, yd * fy + cy, in_front
-
-
-def _solve_row_crossings(h_mat, k_vec, dist, ys, xo, newton_iters: int = 3):
+def solve_row_crossings_scalars(p, ys, xo, newton_iters: int = 3):
     """For each (source row ys, output column xo): the real-valued output-row
     parameter y* where column xo's sample path crosses source row ys.
 
     Closed form for the pure homography; Newton refinement picks up the
     distortion terms. All elementwise (VPU); broadcasting over ys/xo grids.
     """
-    fy, cy = k_vec[1], k_vec[3]
+    fy, cy = p[10], p[12]
     w = (ys - cy) / fy  # target normalized y (ignoring distortion)
-    a = h_mat[1, 1]
-    b = h_mat[1, 0] * xo + h_mat[1, 2]
-    c = h_mat[2, 1]
-    d = h_mat[2, 0] * xo + h_mat[2, 2]
+    a = p[4]
+    b = p[3] * xo + p[5]
+    c = p[7]
+    d = p[6] * xo + p[8]
     den = a - w * c
     den = jnp.where(jnp.abs(den) < 1e-12, jnp.where(den < 0, -1e-12, 1e-12), den)
     y = (w * d - b) / den
 
     def v_of(yy):
-        _, v, _ = _map_uv(h_mat, k_vec, dist, xo, yy)
+        _, v, _ = map_uv_scalars(p, xo, yy)
         return v
 
     def newton(yy):
@@ -105,6 +139,21 @@ def _solve_row_crossings(h_mat, k_vec, dist, ys, xo, newton_iters: int = 3):
     # keep junk finite: rows no sample path crosses produce wild y*, whose
     # pass-1 values are never blended with nonzero weight in pass 2
     return jnp.nan_to_num(jnp.clip(y, -1e6, 1e6))
+
+
+def _params_tuple(h_mat, k_vec, dist):
+    return tuple(h_mat.reshape(9)) + tuple(k_vec) + tuple(dist)
+
+
+def _map_uv(h_mat, k_vec, dist, x, y):
+    """Full inverse map (identical math to `warp.warp_coords`)."""
+    return map_uv_scalars(_params_tuple(h_mat, k_vec, dist), x, y)
+
+
+def _solve_row_crossings(h_mat, k_vec, dist, ys, xo, newton_iters: int = 3):
+    return solve_row_crossings_scalars(
+        _params_tuple(h_mat, k_vec, dist), ys, xo, newton_iters
+    )
 
 
 def twopass_fields(h_mat, k_vec, dist, tile_h: int, out_side: int,
@@ -151,9 +200,24 @@ def warp_images_twopass_xla(sources_u8, h_mats, k_vecs, dists, out_side: int,
     sources_u8 [B, TH, TW, 3] uint8 -> [B, S, S, 3] float32 in [0, 255].
     Same call contract as `warp.warp_images_reference`. `newton_iters=0` is
     exact for distortion-free sources (config `aug.warp_newton_iters`).
+
+    Square tiles additionally get the transposed-source reroute for crops
+    whose pass-1 solve is ill-conditioned (near +-90 deg in-plane rotation
+    — `choose_swap`), matching the Mosaic kernel's route.
     """
     b, th, tw, _ = sources_u8.shape
     s = out_side
+
+    if th == tw:
+        swap = choose_swap(h_mats, k_vecs, dists, th, tw)
+        h_sw, k_sw, d_sw = swapped_params(h_mats, k_vecs, dists)
+        h_mats = jnp.where(swap[:, None, None], h_sw, h_mats)
+        k_vecs = jnp.where(swap[:, None], k_sw, k_vecs)
+        dists = jnp.where(swap[:, None], d_sw, dists)
+        sources_u8 = jnp.where(
+            swap[:, None, None, None],
+            jnp.swapaxes(sources_u8, 1, 2), sources_u8,
+        )
 
     u1, v, in_front = jax.vmap(
         lambda h, k, d: twopass_fields(h, k, d, th, s, newton_iters)

@@ -166,6 +166,55 @@ def test_occluder_twopass_matches_bank_path():
     assert (diff > 0.05).mean() < 1e-3
 
 
+@pytest.mark.parametrize("ang", [np.pi / 2 - 0.01, -np.pi / 2 + 0.02, np.pi / 2])
+def test_near_90deg_rotation_reroutes_and_matches(ang):
+    """ADVICE r2: the Catmull-Smith bottleneck (pass-1 denominator -> 0 near
+    +-90 deg in-plane rotation) previously produced silent garbage. The
+    transposed-source reroute must make both two-pass paths match the exact
+    direct sampler to sub-pixel order there."""
+    from metro_pose3d_tpu.ops.warp_twopass import choose_swap
+
+    rng = np.random.RandomState(9)
+    b, tile, side = 2, 128, 128
+    hs = []
+    for _ in range(b):
+        sc = rng.uniform(0.9, 1.3)
+        c, s = np.cos(ang), np.sin(ang)
+        a = sc * np.array([[c, -s], [s, c]])
+        centre_src = np.array([tile / 2, tile / 2])
+        t = centre_src - a @ np.array([side / 2, side / 2])
+        hmat = np.eye(3)
+        hmat[:2, :2] = a
+        hmat[:2, 2] = t
+        hs.append(hmat)
+    h = jnp.asarray(np.stack(hs), jnp.float32)
+    k = jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)[None], (b, 1))
+    d = jnp.zeros((b, 5), jnp.float32)
+    assert bool(choose_swap(h, k, d, tile, tile).all())
+
+    # smooth ramp: geometric error shows directly in value space
+    yy, xx = np.meshgrid(np.arange(tile), np.arange(tile), indexing="ij")
+    img = (np.sin((xx + 2 * yy) / 9.0) * 100 + 120).astype(np.float32)
+    tiles = jnp.asarray(np.tile(img[None, ..., None], (b, 1, 1, 3)), jnp.uint8)
+    exact = np.asarray(W.warp_images(tiles, h, k, d, side, sampler="packed"))
+    xla = np.asarray(warp_images_twopass_xla(tiles, h, k, d, side))
+    with pltpu.force_tpu_interpret_mode():
+        pk = np.asarray(warp_images_twopass_pallas(tiles, h, k, d, side))
+    interior = _interior_mask(h, k, d, tile, side)
+    for got, name in ((xla, "xla"), (pk, "kernel")):
+        err = np.abs(exact - got)[..., 0][interior]
+        assert np.median(err) <= 1.0, (name, np.median(err))
+        assert err.max() <= 12.0, (name, err.max())  # was ~unbounded garbage
+
+
+def test_choose_swap_keeps_ordinary_rotations_on_default_route():
+    from metro_pose3d_tpu.ops.warp_twopass import choose_swap
+
+    rng = np.random.RandomState(10)
+    h, k, d = _params(rng, 8, 128, 128, perspective=True, rot=0.6)  # <=34 deg
+    assert not bool(choose_swap(h, k, d, 128, 128).any())
+
+
 def test_dispatcher_auto_off_tpu_is_packed():
     rng = np.random.RandomState(4)
     b, tile, side = 2, 64, 32
