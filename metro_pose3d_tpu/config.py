@@ -47,6 +47,11 @@ class ModelConfig:
     # stage wins everywhere, small-channel 1x1s lose, so a stage policy
     # beats blanket quantization.
     quantize_stages: str = "all"
+    # int8: fuse the block-internal dequant+BN+ReLU+requant junctions into
+    # one elementwise pass on the int32 accumulator (activations stay int8
+    # in HBM between a bottleneck's convs). Identical math to the unfused
+    # graph up to f32 reassociation; calibration always runs unfused.
+    quantize_fused: bool = True
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
     # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:

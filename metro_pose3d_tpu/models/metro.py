@@ -55,6 +55,7 @@ class MetroModel(nn.Module):
             bn_group_size=cfg.bn_group_size,
             quantize=cfg.quantize,
             quantize_stages=cfg.quantize_stages,
+            quantize_fused=cfg.quantize_fused,
             name="backbone",
         )(crops, train)
 

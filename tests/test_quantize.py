@@ -52,6 +52,50 @@ def test_calibrate_then_int8_tracks_f32():
     assert np.isfinite(np.asarray(l2_q)).all()
 
 
+def test_fused_junctions_match_unfused_int8():
+    """model.quantize_fused folds dequant+BN+ReLU+requant into one pass on
+    the int32 accumulator; it must (a) reuse the SAME param/batch_stats/
+    quant trees and (b) track the unfused int8 graph within rounding."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(6)
+    base = MetroModel(_cfg("none").model)
+    variables = base.init(jax.random.PRNGKey(2), _crops(rng, 1), train=False)
+    # non-trivial batch stats so the BN affine actually does something
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda v: v + jnp.abs(jax.random.normal(
+            jax.random.PRNGKey(3), v.shape)) * 0.1,
+        variables["batch_stats"])
+    calibrated = calibrate(
+        MetroModel(_cfg("calib").model), dict(variables),
+        [_crops(rng) for _ in range(2)])
+
+    cfg_fused = _cfg("int8")
+    cfg_unfused = dataclasses.replace(
+        cfg_fused, model=dataclasses.replace(
+            cfg_fused.model, quantize_fused=False))
+    x = _crops(np.random.RandomState(8))
+    l3_f, l2_f = MetroModel(cfg_fused.model).apply(calibrated, x, train=False)
+    l3_u, l2_u = MetroModel(cfg_unfused.model).apply(calibrated, x, train=False)
+    # same math up to f32 reassociation; a borderline texel may round to a
+    # neighboring int8 step, so compare with a small tolerance
+    scale = float(jnp.abs(l3_u).max()) + 1e-6
+    assert float(jnp.abs(l3_f - l3_u).max()) < 0.05 * scale + 0.02
+    assert np.isfinite(np.asarray(l2_f)).all()
+
+    # both graphs template the same variable trees
+    v_f = MetroModel(cfg_fused.model).init(
+        jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+    v_u = MetroModel(cfg_unfused.model).init(
+        jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+    paths = lambda tree: set(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(tree))
+    for coll in ("params", "batch_stats", "quant"):
+        assert paths(v_f[coll]) == paths(v_u[coll]), coll
+
+
 def test_param_tree_identical_across_modes():
     rng = np.random.RandomState(1)
     v_none = MetroModel(_cfg("none").model).init(
