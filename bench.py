@@ -26,16 +26,22 @@ import numpy as np
 TARGET = 5000.0  # crops/sec/chip, BASELINE.json north-star
 
 
-def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False):
+def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False,
+         quantize: str = "none", quantize_fused: bool = True):
     # measured sweep on the v5e (2026-08-16): bs256 6.6-6.7k, bs512 6.78k,
     # bs1024 6.78k crops/s; 512 balances throughput vs p50 latency (103 ms)
+    import dataclasses
+
     from metro_pose3d_tpu.config import Config
     from metro_pose3d_tpu.evaluation.engine import make_predict_fn
     from metro_pose3d_tpu.geom.joints import H36M_17
     from metro_pose3d_tpu.models.metro import MetroModel
 
     cfg = Config()
-    model = MetroModel(cfg.model)
+    if quantize != "none":
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, quantize=quantize, quantize_fused=quantize_fused))
+    model = MetroModel(dataclasses.replace(cfg.model, quantize="none"))
     rng = np.random.RandomState(0)
 
     variables = model.init(
@@ -43,6 +49,15 @@ def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False):
         jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3), jnp.float32),
         train=False,
     )
+    if quantize == "int8":
+        from metro_pose3d_tpu.models.quantize import calibrate
+        from metro_pose3d_tpu.ops.color import normalize
+
+        calib_model = MetroModel(dataclasses.replace(cfg.model, quantize="calib"))
+        calib_crops = normalize(jnp.asarray(
+            rng.randint(0, 256, (2, 32, cfg.model.proc_side,
+                                 cfg.model.proc_side, 3)), jnp.float32) / 255.0)
+        variables = calibrate(calib_model, dict(variables), list(calib_crops))
     crops = jnp.asarray(
         rng.randint(0, 256, (batch_size, cfg.model.proc_side, cfg.model.proc_side, 3)),
         jnp.uint8,
@@ -81,7 +96,8 @@ def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False):
         json.dumps(
             {
                 "metric": "crops/sec/chip ResNet-50@256 crop->skeleton"
-                + (" (flip-TTA)" if flip_tta else ""),
+                + (" (flip-TTA)" if flip_tta else "")
+                + (" (int8)" if quantize == "int8" else ""),
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / TARGET, 4),
@@ -98,4 +114,9 @@ if __name__ == "__main__":
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     bs = int(pos[0]) if pos else 512
-    main(batch_size=bs, flip_tta="--flip-tta" in sys.argv)
+    main(
+        batch_size=bs,
+        flip_tta="--flip-tta" in sys.argv,
+        quantize="int8" if "--int8" in sys.argv else "none",
+        quantize_fused="--no-fused" not in sys.argv,
+    )

@@ -68,9 +68,15 @@ def main():
                 mutable=["batch_stats"])
             return jnp.sum(out.astype(jnp.float32))
 
+        def bwd(p, b, x, fwd=fwd):
+            # MUST consume the grads or XLA DCEs the whole backward
+            v, g = jax.value_and_grad(fwd)(p, b, x)
+            return v + jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l.astype(jnp.float32)), g, 0.0)
+
         f_fwd = jax.jit(fwd)
-        f_bwd = jax.jit(lambda p, b, x, fwd=fwd: jax.value_and_grad(fwd)(p, b, x)[0])
-        # grad wrt params only; returns loss value so output transfer is tiny
+        f_bwd = jax.jit(bwd)
+        # grad wrt params only; returns one scalar so output transfer is tiny
         try:
             t_f = timeit(f_fwd, variables["params"], variables["batch_stats"],
                          crops, iters=args.iters)
@@ -120,8 +126,12 @@ def main():
         ("nothing_saveable_full_remat", cp.nothing_saveable),
         ("dots_no_batch_dims", cp.dots_with_no_batch_dims_saveable),
     ]:
-        f = jax.jit(lambda p, b, x, pol=policy: jax.value_and_grad(
-            make_loss(pol))(p, b, x)[0])
+        def f_remat(p, b, x, pol=policy):
+            v, g = jax.value_and_grad(make_loss(pol))(p, b, x)
+            return v + jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l.astype(jnp.float32)), g, 0.0)
+
+        f = jax.jit(f_remat)
         try:
             t = timeit(f, variables["params"], variables["batch_stats"],
                        crops, iters=args.iters)
