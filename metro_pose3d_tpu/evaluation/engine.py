@@ -120,12 +120,12 @@ def make_predict_fn(
         if mesh is not None:
             # Pallas custom calls (two-pass warp kernel) cannot be GSPMD-
             # partitioned; shard_map runs one kernel grid per device shard
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map  # jax>=0.8 home (experimental alias deprecated)
             from jax.sharding import PartitionSpec as P
 
             augment = shard_map(
                 augment, mesh=mesh, in_specs=(P("data"),),
-                out_specs=P("data"), check_rep=False,
+                out_specs=P("data"), check_vma=False,
             )
 
         def predict(variables, batch):

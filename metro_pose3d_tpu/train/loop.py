@@ -79,13 +79,13 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         # and occluder kernels), which GSPMD cannot partition — run it
         # under shard_map so each device executes its own kernel grid over
         # its batch shard (pure per-example math: no cross-shard deps)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map  # jax>=0.8 home (experimental alias deprecated)
         from jax.sharding import PartitionSpec as P
 
         augment = shard_map(
             augment, mesh=mesh,
             in_specs=(P("data"), P()), out_specs=P("data"),
-            check_rep=False,
+            check_vma=False,
         )
 
     def step(state: TrainState, batch: dict, occ_bank) -> tuple[TrainState, dict]:
