@@ -183,11 +183,75 @@ def _maxpool_reference_torch(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# Backward implementation (round 3, VERDICT r2 weak #3): "masks" computes
+# grad_in via compare-to-output masks assembled with dense interleaves —
+# ~4 full-tensor passes instead of the max-tree VJP's ~16 elementwise max
+# backward steps. Gradient splits EQUALLY among tied maxima of a window
+# (per-window gradient mass preserved), whereas the max-tree VJP routes
+# ties by jnp.maximum's left-bias; ties are only reachable where bf16
+# quantizes neighbors equal, and training-smoke parity was verified.
+POOL_BWD_IMPL = "masks"  # "masks" | "maxtree"
+
+
+def _maxpool_bwd_masks(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the SAME 3x3/2 max pool, mask-and-interleave form."""
+    b, h, w, c = x.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    ph, pw = max(2 * oh + 1 - h, 0), max(2 * ow + 1 - w, 0)
+    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+    xp = jnp.pad(x, pads, constant_values=_NEG)
+
+    views = {}
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = xp[:, dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2, :][:, :oh, :ow]
+            views[(dy, dx)] = s
+            out = s if out is None else jnp.maximum(out, s)
+
+    eq = {k: (v == out) for k, v in views.items()}
+    count = None
+    for m in eq.values():
+        count = m.astype(jnp.float32) if count is None else count + m
+    wgt = g.astype(jnp.float32) / count  # per-window mass split among ties
+
+    def interleave(e, o, axis):
+        """Merge even-index slices `e` (n+1 of them) and odd `o` (n) into a
+        length-(2n+1) axis: [e0, o0, e1, o1, ..., en]."""
+        n = o.shape[axis]
+        stacked = jnp.stack(
+            [lax.slice_in_dim(e, 0, n, axis=axis), o], axis=axis + 1)
+        shape = list(e.shape)
+        shape[axis] = 2 * n
+        merged = stacked.reshape(shape)
+        tail = lax.slice_in_dim(e, n, n + 1, axis=axis)
+        return jnp.concatenate([merged, tail], axis=axis)
+
+    def pad1(t, axis, lo, hi):
+        cfg = [(0, 0)] * t.ndim
+        cfg[axis] = (lo, hi)
+        return jnp.pad(t, cfg)
+
+    rows = {}
+    for dy in range(3):
+        t0 = wgt * eq[(dy, 0)]
+        t1 = wgt * eq[(dy, 1)]
+        t2 = wgt * eq[(dy, 2)]
+        col_e = pad1(t0, 2, 0, 1) + pad1(t2, 2, 1, 0)  # [B,oh,ow+1,C]
+        rows[dy] = interleave(col_e, t1, 2)  # [B,oh,2ow+1,C]
+    row_e = pad1(rows[0], 1, 0, 1) + pad1(rows[2], 1, 1, 0)  # [B,oh+1,.,C]
+    full = interleave(row_e, rows[1], 1)  # [B,2oh+1,2ow+1,C]
+    grad = full[:, pads[1][0] : pads[1][0] + h, pads[2][0] : pads[2][0] + w, :]
+    return grad.astype(g.dtype)
+
+
 def _fwd(x):
     return max_pool_3x3_stride2_same(x), x
 
 
 def _bwd(x, g):
+    if POOL_BWD_IMPL == "masks":
+        return (_maxpool_bwd_masks(x, g),)
     # _maxpool_reference_odd matches SAME for both spatial parities; the
     # even-only _maxpool_reference would raise a cotangent shape mismatch
     # for odd inputs the reduce_window forward happily accepts (ADVICE r1)

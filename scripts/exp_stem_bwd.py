@@ -91,19 +91,25 @@ def main():
     bench_pair("stem + pool (shift-max AD)", stem_pool_shift_loss, sv, x,
                iters=args.iters)
 
-    # 4. pool backward in isolation: input is a ready stem output
+    # 4. pool backward in isolation (both implementations): input is a
+    # ready stem output
     y = jax.jit(lambda p, x: stem.apply(p, x))(sv, x)
     y = jnp.asarray(np.asarray(y))  # materialize off the graph
 
     def pool_only(y):
         return jnp.sum(P.max_pool_3x3_stride2_same(y).astype(jnp.float32))
 
-    f_fwd = jax.jit(pool_only)
-    f_bwd = jax.jit(lambda y: consume_grads(*jax.value_and_grad(pool_only)(y)))
-    t_f = timeit(f_fwd, y, iters=args.iters)
-    t_b = timeit(f_bwd, y, iters=args.iters)
-    print(f"{'pool alone (custom_vjp)':34s}: fwd {t_f*1e3:7.2f}  "
-          f"fwd+bwd {t_b*1e3:7.2f}  bwd {1e3*(t_b-t_f):7.2f} ms", flush=True)
+    for impl in ("masks", "maxtree"):
+        P.POOL_BWD_IMPL = impl
+        f_fwd = jax.jit(pool_only)
+        f_bwd = jax.jit(
+            lambda y: consume_grads(*jax.value_and_grad(pool_only)(y)))
+        t_f = timeit(f_fwd, y, iters=args.iters)
+        t_b = timeit(f_bwd, y, iters=args.iters)
+        print(f"{'pool alone bwd=' + impl:34s}: fwd {t_f*1e3:7.2f}  "
+              f"fwd+bwd {t_b*1e3:7.2f}  bwd {1e3*(t_b-t_f):7.2f} ms",
+              flush=True)
+    P.POOL_BWD_IMPL = "masks"
 
     # 5. one stage-1 bottleneck block at 64^2
     from metro_pose3d_tpu.models.resnet import Bottleneck

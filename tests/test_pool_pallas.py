@@ -99,3 +99,53 @@ def x_argmax_mask_free_check(x, g):
     # helper: g is nonzero only at window-max positions; g = sum over windows
     # of 2*out at the max position, so g*x accumulates 2*out*max = 2*out^2.
     return x
+
+
+class TestMasksBackward:
+    """Round-3 fast pool backward (_maxpool_bwd_masks): dense mask+interleave
+    form replacing the max-tree VJP (POOL_BWD_IMPL)."""
+
+    def _maxtree_grad(self, x, g):
+        from metro_pose3d_tpu.ops.pool_pallas import _maxpool_reference_odd
+
+        _, vjp = jax.vjp(_maxpool_reference_odd, x)
+        return vjp(g)[0]
+
+    def test_matches_maxtree_unique_maxima(self):
+        from metro_pose3d_tpu.ops.pool_pallas import _maxpool_bwd_masks
+
+        for shape, key in (((2, 16, 12, 5), 7), ((1, 15, 13, 3), 8)):
+            x = jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+            oh, ow = (shape[1] + 1) // 2, (shape[2] + 1) // 2
+            g = jax.random.normal(
+                jax.random.PRNGKey(key + 1), (shape[0], oh, ow, shape[3]),
+                jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(_maxpool_bwd_masks(x, g)),
+                np.asarray(self._maxtree_grad(x, g)), atol=1e-6)
+
+    def test_tie_mass_preserved(self):
+        """On ties the masks form splits each window's gradient equally;
+        total per-window mass must be preserved exactly."""
+        from metro_pose3d_tpu.ops.pool_pallas import _maxpool_bwd_masks
+
+        x = jnp.ones((1, 8, 8, 1), jnp.float32)  # every window fully tied
+        g = jnp.ones((1, 4, 4, 1), jnp.float32)
+        grad = np.asarray(_maxpool_bwd_masks(x, g))
+        assert grad.shape == x.shape
+        np.testing.assert_allclose(grad.sum(), float(g.sum()), rtol=1e-6)
+        assert (grad >= 0).all()
+
+    def test_public_op_uses_masks_by_default(self):
+        from metro_pose3d_tpu.ops import pool_pallas as P
+
+        assert P.POOL_BWD_IMPL == "masks"
+        x = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 32, 8), jnp.float32)
+
+        def f(x):
+            return jnp.sum(max_pool_3x3_stride2_same(x) ** 2)
+
+        g = jax.grad(f)(x)
+        out = _rw_same(x)
+        np.testing.assert_allclose(
+            float(jnp.sum(g * x)), float(jnp.sum(2 * out**2)), rtol=1e-5)
