@@ -184,74 +184,98 @@ def _maxpool_reference_torch(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # Backward implementation (round 3, VERDICT r2 weak #3): "masks" computes
-# grad_in via compare-to-output masks assembled with dense interleaves —
-# ~4 full-tensor passes instead of the max-tree VJP's ~16 elementwise max
-# backward steps. Gradient splits EQUALLY among tied maxima of a window
-# (per-window gradient mass preserved), whereas the max-tree VJP routes
-# ties by jnp.maximum's left-bias; ties are only reachable where bf16
-# quantizes neighbors equal, and training-smoke parity was verified.
+# grad_in directly on the INPUT grid from the saved forward output —
+# grad_in[i] = sum over the <=4 windows containing i of
+# [x_i == out_w] * g_w / ties_w. Everything is upsample-by-repeat, pad/
+# slice shifts and elementwise math, which XLA fuses into one pass over
+# the input grid, vs the max-tree VJP's ~16 elementwise max backward
+# steps (chip: the pool backward was 40 of the 128 ms R50 backward at
+# bs256). Gradient splits EQUALLY among tied maxima of a window
+# (per-window mass preserved), whereas the max-tree VJP routes ties by
+# jnp.maximum's bias; ties are only reachable where bf16 quantizes
+# neighbors equal, and training-smoke parity was verified.
 POOL_BWD_IMPL = "masks"  # "masks" | "maxtree"
 
 
-def _maxpool_bwd_masks(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Gradient of the SAME 3x3/2 max pool, mask-and-interleave form."""
+def _maxpool_bwd_masks(x: jnp.ndarray, out: jnp.ndarray,
+                       g: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the SAME 3x3/2 max pool, input-grid mask form.
+
+    `out` is the forward result (saved residual — NOT recomputed).
+    """
     b, h, w, c = x.shape
     oh, ow = (h + 1) // 2, (w + 1) // 2
     ph, pw = max(2 * oh + 1 - h, 0), max(2 * ow + 1 - w, 0)
-    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
-    xp = jnp.pad(x, pads, constant_values=_NEG)
+    plo_y, plo_x = ph // 2, pw // 2
+    xp = jnp.pad(
+        x, ((0, 0), (plo_y, ph - plo_y), (plo_x, pw - plo_x), (0, 0)),
+        constant_values=_NEG)
+    hp, wp = 2 * oh + 1, 2 * ow + 1
 
-    views = {}
-    out = None
+    # tie count per window (9 shifted compares at OUTPUT resolution)
+    count = None
     for dy in range(3):
         for dx in range(3):
             s = xp[:, dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2, :][:, :oh, :ow]
-            views[(dy, dx)] = s
-            out = s if out is None else jnp.maximum(out, s)
+            m = (s == out).astype(jnp.float32)
+            count = m if count is None else count + m
+    wgt = g.astype(jnp.float32) / count  # per-window mass, split among ties
 
-    eq = {k: (v == out) for k, v in views.items()}
-    count = None
-    for m in eq.values():
-        count = m.astype(jnp.float32) if count is None else count + m
-    wgt = g.astype(jnp.float32) / count  # per-window mass split among ties
+    # upsample out/wgt onto the padded input grid: U[i] = V[i // 2]
+    def up(v, fill):
+        u = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+        return jnp.pad(
+            u, ((0, 0), (0, hp - 2 * oh), (0, wp - 2 * ow), (0, 0)),
+            constant_values=fill)
 
-    def interleave(e, o, axis):
-        """Merge even-index slices `e` (n+1 of them) and odd `o` (n) into a
-        length-(2n+1) axis: [e0, o0, e1, o1, ..., en]."""
-        n = o.shape[axis]
-        stacked = jnp.stack(
-            [lax.slice_in_dim(e, 0, n, axis=axis), o], axis=axis + 1)
-        shape = list(e.shape)
-        shape[axis] = 2 * n
-        merged = stacked.reshape(shape)
-        tail = lax.slice_in_dim(e, n, n + 1, axis=axis)
-        return jnp.concatenate([merged, tail], axis=axis)
+    out_up = up(out.astype(x.dtype), _NEG)
+    wgt_up = up(wgt, 0.0)
 
-    def pad1(t, axis, lo, hi):
-        cfg = [(0, 0)] * t.ndim
-        cfg[axis] = (lo, hi)
-        return jnp.pad(t, cfg)
+    # candidate windows for padded-input row iy: oy = iy//2 (always) and
+    # oy = iy//2 - 1 (even iy only; odd iy's second candidate coincides).
+    # The -1 candidates read the upsampled grids shifted down/right by 2,
+    # with _NEG/0 fill so out-of-range windows can never match.
+    def shift2(t, axis, fill):
+        cfg = [(0, 0)] * 4
+        cfg[axis] = (2, 0)
+        padded = jnp.pad(t, cfg, constant_values=fill)
+        return lax.slice_in_dim(padded, 0, t.shape[axis], axis=axis)
 
-    rows = {}
-    for dy in range(3):
-        t0 = wgt * eq[(dy, 0)]
-        t1 = wgt * eq[(dy, 1)]
-        t2 = wgt * eq[(dy, 2)]
-        col_e = pad1(t0, 2, 0, 1) + pad1(t2, 2, 1, 0)  # [B,oh,ow+1,C]
-        rows[dy] = interleave(col_e, t1, 2)  # [B,oh,2ow+1,C]
-    row_e = pad1(rows[0], 1, 0, 1) + pad1(rows[2], 1, 1, 0)  # [B,oh+1,.,C]
-    full = interleave(row_e, rows[1], 1)  # [B,2oh+1,2ow+1,C]
-    grad = full[:, pads[1][0] : pads[1][0] + h, pads[2][0] : pads[2][0] + w, :]
+    even_y = (lax.broadcasted_iota(jnp.int32, (hp, 1), 0) % 2 == 0)
+    even_x = (lax.broadcasted_iota(jnp.int32, (1, wp), 1) % 2 == 0)
+    my = even_y[None, :, :, None]
+    mx = even_x[None, :, :, None]
+
+    grad_p = jnp.zeros((b, hp, wp, c), jnp.float32)
+    for ry, masky in ((0, None), (1, my)):
+        for rx, maskx in ((0, None), (1, mx)):
+            o_t = out_up
+            w_t = wgt_up
+            if ry:
+                o_t = shift2(o_t, 1, _NEG)
+                w_t = shift2(w_t, 1, 0.0)
+            if rx:
+                o_t = shift2(o_t, 2, _NEG)
+                w_t = shift2(w_t, 2, 0.0)
+            term = jnp.where(xp == o_t, w_t, 0.0)
+            if masky is not None:
+                term = jnp.where(masky, term, 0.0)
+            if maskx is not None:
+                term = jnp.where(maskx, term, 0.0)
+            grad_p = grad_p + term
+    grad = grad_p[:, plo_y : plo_y + h, plo_x : plo_x + w, :]
     return grad.astype(g.dtype)
 
 
 def _fwd(x):
-    return max_pool_3x3_stride2_same(x), x
+    out = max_pool_3x3_stride2_same(x)
+    return out, (x, out)
 
 
-def _bwd(x, g):
+def _bwd(res, g):
+    x, out = res
     if POOL_BWD_IMPL == "masks":
-        return (_maxpool_bwd_masks(x, g),)
+        return (_maxpool_bwd_masks(x, out, g),)
     # _maxpool_reference_odd matches SAME for both spatial parities; the
     # even-only _maxpool_reference would raise a cotangent shape mismatch
     # for odd inputs the reduce_window forward happily accepts (ADVICE r1)

@@ -116,12 +116,11 @@ class TestMasksBackward:
 
         for shape, key in (((2, 16, 12, 5), 7), ((1, 15, 13, 3), 8)):
             x = jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
-            oh, ow = (shape[1] + 1) // 2, (shape[2] + 1) // 2
+            out = _rw_same(x)
             g = jax.random.normal(
-                jax.random.PRNGKey(key + 1), (shape[0], oh, ow, shape[3]),
-                jnp.float32)
+                jax.random.PRNGKey(key + 1), out.shape, jnp.float32)
             np.testing.assert_allclose(
-                np.asarray(_maxpool_bwd_masks(x, g)),
+                np.asarray(_maxpool_bwd_masks(x, out, g)),
                 np.asarray(self._maxtree_grad(x, g)), atol=1e-6)
 
     def test_tie_mass_preserved(self):
@@ -130,8 +129,9 @@ class TestMasksBackward:
         from metro_pose3d_tpu.ops.pool_pallas import _maxpool_bwd_masks
 
         x = jnp.ones((1, 8, 8, 1), jnp.float32)  # every window fully tied
+        out = _rw_same(x)
         g = jnp.ones((1, 4, 4, 1), jnp.float32)
-        grad = np.asarray(_maxpool_bwd_masks(x, g))
+        grad = np.asarray(_maxpool_bwd_masks(x, out, g))
         assert grad.shape == x.shape
         np.testing.assert_allclose(grad.sum(), float(g.sum()), rtol=1e-6)
         assert (grad >= 0).all()
