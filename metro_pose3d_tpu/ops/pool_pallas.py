@@ -192,8 +192,9 @@ def _maxpool_reference_torch(x: jnp.ndarray) -> jnp.ndarray:
 # steps (chip: the pool backward was 40 of the 128 ms R50 backward at
 # bs256). Gradient splits EQUALLY among tied maxima of a window
 # (per-window mass preserved), whereas the max-tree VJP routes ties by
-# jnp.maximum's bias; ties are only reachable where bf16 quantizes
-# neighbors equal, and training-smoke parity was verified.
+# jnp.maximum's bias; on unique maxima the two are exactly equal
+# (tests/test_pool_pallas.py), and ties are only reachable where bf16
+# quantizes window neighbors equal.
 POOL_BWD_IMPL = "masks"  # "masks" | "maxtree"
 
 

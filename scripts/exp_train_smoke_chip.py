@@ -26,6 +26,11 @@ import numpy as np
 def main():
     sampler = sys.argv[1] if len(sys.argv) > 1 else "twopass"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
+    if len(sys.argv) > 3:  # optional pool-backward impl A/B (round 3)
+        from metro_pose3d_tpu.ops import pool_pallas
+
+        pool_pallas.POOL_BWD_IMPL = sys.argv[3]
+        print(f"pool backward: {sys.argv[3]}")
     bs, n_batches = 64, 16
 
     from metro_pose3d_tpu.config import Config, apply_overrides
