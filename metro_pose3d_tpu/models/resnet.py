@@ -102,14 +102,12 @@ class StemConv(nn.Module):
         ))
 
 
-# 3x3/2 SAME max pool: reduce_window forward (fuses best in-graph on axon)
-# with a NaN-safe shift-and-max backward via custom_vjp; optional Pallas
-# kernel — see ops/pool_pallas.py for the measurements. Alignment matches
-# TF/XLA SAME (window at 2i..2i+2), i.e. the reference's slim
-# `max_pool2d(..., 'SAME')`, which matters for weight-conversion parity.
-from metro_pose3d_tpu.ops.pool_pallas import (  # noqa: E402
-    max_pool_3x3_stride2_same as max_pool_3x3_stride2,
-)
+# 3x3/2 stem max pool: mode- and train-aware dispatch lives in
+# ops/pool_pallas.stem_max_pool (reduce_window forward for inference,
+# shift-and-max autodiff for training; measurements in its docstring).
+# Alignment of the default "same" mode matches TF/XLA SAME (window at
+# 2i..2i+2), i.e. the reference's slim `max_pool2d(..., 'SAME')`, which
+# matters for weight-conversion parity.
 
 
 RESNET_DEPTHS = {
@@ -405,16 +403,15 @@ class ResNet(nn.Module):
                     dtype=self.dtype, name="bn_stem",
                 )(x)
             )
-        if self.conv_padding == "torch":
-            from metro_pose3d_tpu.ops.pool_pallas import max_pool_3x3_stride2_torch
+        # train routes through the shift-max autodiff form (fastest
+        # fwd+bwd); inference keeps reduce_window (fastest fwd, fuses
+        # with the stem conv). Identical forward values either way; see
+        # the measured ledger in ops/pool_pallas.py `stem_max_pool`.
+        from metro_pose3d_tpu.ops.pool_pallas import stem_max_pool
 
-            x = max_pool_3x3_stride2_torch(x)
-        elif self.conv_padding == "keras":
-            from metro_pose3d_tpu.ops.pool_pallas import max_pool_3x3_stride2_keras
-
-            x = max_pool_3x3_stride2_keras(x)
-        else:
-            x = max_pool_3x3_stride2(x)
+        pool_mode = (self.conv_padding
+                     if self.conv_padding in ("torch", "keras") else "same")
+        x = stem_max_pool(x, mode=pool_mode, train=train)
 
         # Stage strides for the requested output stride; once the cumulative
         # stride hits the target, later stages switch to dilation instead.

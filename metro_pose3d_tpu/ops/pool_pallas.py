@@ -187,15 +187,19 @@ def _maxpool_reference_torch(x: jnp.ndarray) -> jnp.ndarray:
 # grad_in directly on the INPUT grid from the saved forward output —
 # grad_in[i] = sum over the <=4 windows containing i of
 # [x_i == out_w] * g_w / ties_w. Everything is upsample-by-repeat, pad/
-# slice shifts and elementwise math, which XLA fuses into one pass over
-# the input grid, vs the max-tree VJP's ~16 elementwise max backward
-# steps (chip: the pool backward was 40 of the 128 ms R50 backward at
-# bs256). Gradient splits EQUALLY among tied maxima of a window
-# (per-window mass preserved), whereas the max-tree VJP routes ties by
-# jnp.maximum's bias; on unique maxima the two are exactly equal
+# slice shifts and elementwise math. The HYPOTHESIS was that XLA fuses it
+# into one pass over the input grid; MEASURED on the v5e (2026-08-17,
+# scripts/exp_stem_bwd.py, pool alone at [256,128,128,64]) it LOSES:
+# masks bwd 45.4 ms vs maxtree-recompute 28.8 ms — the 4 shifted
+# input-grid terms each materialize through HBM instead of fusing.
+# Kept selectable as the honest ledger entry; "maxtree" (recompute the
+# shift-max tree, differentiate through it) is the default custom bwd.
+# Gradient tie semantics: "masks" splits EQUALLY among tied maxima
+# (per-window mass preserved); "maxtree" routes ties by jnp.maximum's
+# bias; on unique maxima the two are exactly equal
 # (tests/test_pool_pallas.py), and ties are only reachable where bf16
 # quantizes window neighbors equal.
-POOL_BWD_IMPL = "masks"  # "masks" | "maxtree"
+POOL_BWD_IMPL = "maxtree"  # "masks" | "maxtree"
 
 
 def _maxpool_bwd_masks(x: jnp.ndarray, out: jnp.ndarray,
@@ -337,6 +341,47 @@ def _bwd_torch(x, g):
 
 
 max_pool_3x3_stride2_torch.defvjp(_fwd_torch, _bwd_torch)
+
+
+# Training-path routing (round 3; measured 2026-08-17 on the v5e,
+# scripts/exp_stem_bwd.py, stem+pool at bs256 [256,128,128,64]):
+#
+#   custom_vjp (reduce_window fwd + masks bwd)    fwd  5.65  fwd+bwd 48.32 ms
+#   custom_vjp (reduce_window fwd + maxtree bwd)  fwd  5.65  fwd+bwd ~45.6
+#   plain shift-max AUTODIFF                      fwd 12.14  fwd+bwd 33.91  <-
+#
+# Autodiff through the shift-and-max decomposition wins fwd+bwd despite its
+# 2.1x-slower forward, because it SAVES the 9 intermediate maxima and backs
+# through them elementwise, while both custom backwards either recompute the
+# tree (maxtree) or assemble 4 shifted input-grid mask terms through HBM
+# (masks). So TRAINING routes through plain autodiff, and inference keeps
+# the reduce_window forward (fastest, fuses with the stem conv; only its
+# select-and-scatter GRADIENT NaNs on axon, never the forward). Forward
+# values are identical in every form (exact window max).
+POOL_TRAIN_IMPL = "ad"  # "ad" (shift-max autodiff) | "custom" (custom_vjp)
+
+
+def stem_max_pool(x: jnp.ndarray, mode: str = "same",
+                  train: bool = False) -> jnp.ndarray:
+    """Mode-aware stem pool. `mode`: "same" (TF/XLA) | "torch" | "keras".
+
+    With `train=True` (and POOL_TRAIN_IMPL="ad") the differentiable
+    shift-and-max form is used so autodiff produces the cheap saved-
+    intermediates backward; otherwise the custom_vjp reduce_window form.
+    """
+    if train and POOL_TRAIN_IMPL == "ad":
+        if mode == "torch":
+            return _maxpool_reference_torch(x)
+        if mode == "keras":
+            return _maxpool_reference_keras(x)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            return _maxpool_reference_odd(x)
+        return _maxpool_reference(x)
+    if mode == "torch":
+        return max_pool_3x3_stride2_torch(x)
+    if mode == "keras":
+        return max_pool_3x3_stride2_keras(x)
+    return max_pool_3x3_stride2_same(x)
 
 
 def _maxpool_reference_odd(x: jnp.ndarray) -> jnp.ndarray:

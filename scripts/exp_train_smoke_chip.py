@@ -26,10 +26,16 @@ import numpy as np
 def main():
     sampler = sys.argv[1] if len(sys.argv) > 1 else "twopass"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
-    if len(sys.argv) > 3:  # optional pool-backward impl A/B (round 3)
+    if len(sys.argv) > 3:  # optional pool-backward impl A/B (round 3):
+        # "ad" = train-route shift-max autodiff (production default);
+        # "masks"/"maxtree" = force the custom_vjp route with that backward.
         from metro_pose3d_tpu.ops import pool_pallas
 
-        pool_pallas.POOL_BWD_IMPL = sys.argv[3]
+        if sys.argv[3] == "ad":
+            pool_pallas.POOL_TRAIN_IMPL = "ad"
+        else:
+            pool_pallas.POOL_TRAIN_IMPL = "custom"
+            pool_pallas.POOL_BWD_IMPL = sys.argv[3]
         print(f"pool backward: {sys.argv[3]}")
     bs, n_batches = 64, 16
 

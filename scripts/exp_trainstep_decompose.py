@@ -93,7 +93,9 @@ def main():
                           batch_stats=new_stats, opt_state=new_opt), loss
     if "step" in sections:
         f_step = jax.jit(step_nocrop, donate_argnums=(0,))
-        st = state
+        # donate a COPY: the "full" section below rebuilds its state from
+        # the same `variables` arrays, which donation would delete
+        st = jax.tree_util.tree_map(jnp.copy, state)
         st, loss = f_step(st, crops, batch); jax.block_until_ready(loss)
         times = []
         for _ in range(8):

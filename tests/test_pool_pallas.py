@@ -136,16 +136,52 @@ class TestMasksBackward:
         np.testing.assert_allclose(grad.sum(), float(g.sum()), rtol=1e-6)
         assert (grad >= 0).all()
 
-    def test_public_op_uses_masks_by_default(self):
+    def test_public_op_custom_bwd_selectable(self):
+        # Chip A/B (2026-08-17, scripts/exp_stem_bwd.py): masks LOST on the
+        # v5e (45.4 vs 28.8 ms), so the custom-bwd default is "maxtree" and
+        # "masks" stays selectable as the ledger entry. Both must produce
+        # the same gradient away from ties.
         from metro_pose3d_tpu.ops import pool_pallas as P
 
-        assert P.POOL_BWD_IMPL == "masks"
+        assert P.POOL_BWD_IMPL == "maxtree"
         x = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 32, 8), jnp.float32)
 
         def f(x):
             return jnp.sum(max_pool_3x3_stride2_same(x) ** 2)
 
-        g = jax.grad(f)(x)
+        old = P.POOL_BWD_IMPL
+        try:
+            P.POOL_BWD_IMPL = "masks"
+            g = jax.grad(f)(x)
+        finally:
+            P.POOL_BWD_IMPL = old
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(jax.grad(f)(x)), atol=1e-6)
         out = _rw_same(x)
         np.testing.assert_allclose(
             float(jnp.sum(g * x)), float(jnp.sum(2 * out**2)), rtol=1e-5)
+
+
+class TestStemPoolTrainRouting:
+    """Round-3 train/inference routing (`stem_max_pool`): training uses the
+    shift-max autodiff form (fastest fwd+bwd on chip — ledger in
+    ops/pool_pallas.py), inference the reduce_window custom_vjp. Forward
+    values and (away from ties) gradients must agree between the routes."""
+
+    def test_forward_and_grad_agree_across_routes(self):
+        from metro_pose3d_tpu.ops.pool_pallas import stem_max_pool
+
+        for mi, mode in enumerate(("same", "torch", "keras")):
+            for shape in ((2, 16, 16, 4), (1, 15, 13, 3)):
+                x = jax.random.normal(
+                    jax.random.PRNGKey(20 + mi), shape, jnp.float32)
+                f_inf = lambda x: jnp.sum(stem_max_pool(x, mode, train=False) ** 2)
+                f_tr = lambda x: jnp.sum(stem_max_pool(x, mode, train=True) ** 2)
+                np.testing.assert_allclose(
+                    np.asarray(stem_max_pool(x, mode, train=True)),
+                    np.asarray(stem_max_pool(x, mode, train=False)),
+                    atol=0, err_msg=f"forward mismatch mode={mode}")
+                np.testing.assert_allclose(
+                    np.asarray(jax.grad(f_tr)(x)),
+                    np.asarray(jax.grad(f_inf)(x)),
+                    atol=1e-6, err_msg=f"grad mismatch mode={mode}")
