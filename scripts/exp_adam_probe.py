@@ -44,7 +44,7 @@ def main():
     cfg = Config()
     model = MetroModel(cfg.model)
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((1, cfg.data.proc_side, cfg.data.proc_side, 3), jnp.float32)
+    x = jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3), jnp.float32)
     variables = model.init(rng, x, train=False)
     params = variables["params"]
     n = sum(p.size for p in jax.tree_util.tree_leaves(params))
