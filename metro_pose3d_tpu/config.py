@@ -131,6 +131,10 @@ class TrainConfig:
                                     # framework default — an unclipped spike
                                     # was observed to poison Adam state and
                                     # permanently degrade a synthetic run
+    fused_adam: bool = False        # single-buffer Adam+clip (train/loop.py
+                                    # flat_fused_adam): ~4.7 ms/step cheaper
+                                    # than the optax tree chain on the v5e;
+                                    # same math up to float reassociation
     seed: int = 0
     checkpoint_every: int = 2_000
     keep_checkpoints: int = 3

@@ -46,13 +46,19 @@ def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
     )
     if group_key is not None:
         err = np.linalg.norm(pred - gt, axis=-1)
+        labels = np.asarray(data[group_key])
         if valid is not None:
             v = np.asarray(valid, bool)
-            correct = np.where(v, err <= 150.0, np.nan)
-            correct = np.nanmean(correct, axis=-1) * 100
+            # guarded mean over valid joints; examples with NO valid eval
+            # joint (fully truncated crop) are excluded from the table —
+            # a nanmean here would emit NaN and poison its activity row
+            correct = (np.where(v, err <= 150.0, 0.0).sum(-1)
+                       / np.maximum(v.sum(-1), 1) * 100)
+            has_valid = v.any(-1)
+            correct, labels = correct[has_valid], labels[has_valid]
         else:
             correct = (err <= 150.0).mean(-1) * 100
-        table, _ = per_group_table(correct, data[group_key])
+        table, _ = per_group_table(correct, labels)
         result["per_activity_pck"] = table
     return result
 

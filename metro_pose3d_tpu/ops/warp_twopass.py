@@ -40,6 +40,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from metro_pose3d_tpu.reference_constants import (
+    TWOPASS_DEN_CLAMP,
+    TWOPASS_SWAP_RATIO,
+)
+
 _EPS_Z = 1e-9
 
 # Per-crop scalar parameter vector layout (the kernel reads these 18 floats
@@ -82,7 +87,7 @@ def choose_swap(h_mats, k_vecs, dists, tile_h: int, tile_w: int):
     den0 = jnp.abs(h_mats[:, 1, 1] - w0 * h_mats[:, 2, 1])
     w1 = (tile_w / 2.0 - cx) / fx
     den1 = jnp.abs(h_mats[:, 0, 1] - w1 * h_mats[:, 2, 1])
-    return den0 < 0.25 * den1
+    return den0 < TWOPASS_SWAP_RATIO * den1
 
 
 def map_uv_scalars(p, x, y):
@@ -121,7 +126,9 @@ def solve_row_crossings_scalars(p, ys, xo, newton_iters: int = 3):
     c = p[7]
     d = p[6] * xo + p[8]
     den = a - w * c
-    den = jnp.where(jnp.abs(den) < 1e-12, jnp.where(den < 0, -1e-12, 1e-12), den)
+    den = jnp.where(jnp.abs(den) < TWOPASS_DEN_CLAMP,
+                    jnp.where(den < 0, -TWOPASS_DEN_CLAMP, TWOPASS_DEN_CLAMP),
+                    den)
     y = (w * d - b) / den
 
     def v_of(yy):
@@ -130,7 +137,9 @@ def solve_row_crossings_scalars(p, ys, xo, newton_iters: int = 3):
 
     def newton(yy):
         v, dv = jax.jvp(v_of, (yy,), (jnp.ones_like(yy),))
-        dv = jnp.where(jnp.abs(dv) < 1e-12, jnp.where(dv < 0, -1e-12, 1e-12), dv)
+        dv = jnp.where(jnp.abs(dv) < TWOPASS_DEN_CLAMP,
+                       jnp.where(dv < 0, -TWOPASS_DEN_CLAMP, TWOPASS_DEN_CLAMP),
+                       dv)
         return yy - (v - ys) / dv
 
     # exact already at dist == 0 (closed form); Newton picks up distortion

@@ -48,7 +48,11 @@ def initialize_multihost(coordinator_address: str | None = None,
         # error here silently degrades every process to its own
         # single-host world: wrong global batch, no collectives, no crash
         # (VERDICT r2 weak #6).
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        # jax 0.9.0 phrases the benign double-init as "distributed.initialize
+        # should only be called once."; older versions said "already
+        # initialized" — accept both spellings, re-raise everything else.
+        if "already initialized" in msg or "should only be called once" in msg:
             return
         raise
 

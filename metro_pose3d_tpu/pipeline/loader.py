@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import concurrent.futures as _futures
 import multiprocessing
+import os
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -106,6 +107,32 @@ def prepare_one(
 _WORKER_STATE: dict = {}
 
 
+def _patch_spawn_env() -> Callable[[], None]:
+    """Make spawned interpreters start WITHOUT the TPU runtime; returns undo.
+
+    Workers are pure numpy/PIL-free decode+prep — they must stay JAX-free.
+    But a freshly spawned interpreter re-runs sitecustomize, and on axon dev
+    hosts that hook keys off PALLAS_AXON_POOL_IPS to import jax and register
+    the PJRT plugin through the (flaky) tunnel at interpreter start — before
+    any of our code runs. Drop the trigger and pin JAX_PLATFORMS=cpu in the
+    parent env for the pool's lifetime (spawn children inherit env at
+    process creation; workers can spawn lazily at any submit). The parent's
+    own already-imported jax is unaffected by env changes.
+    """
+    saved = {k: os.environ.get(k) for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    def undo():
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    return undo
+
+
 def _init_worker(get_example, joint_info, proc_side, tile_side, aug_cfg,
                  n_occluders, box_expansion, n_backgrounds):
     _WORKER_STATE["args"] = (get_example, joint_info, proc_side, tile_side,
@@ -157,7 +184,9 @@ def batch_iterator(
     guard (spawn re-imports __main__). Batches are identical across pool
     types by the (seed, epoch, idx) rng contract.
     """
+    env_undo = None
     if pool_type == "process":
+        env_undo = _patch_spawn_env()
         pool = _futures.ProcessPoolExecutor(
             max_workers=max(n_workers, 1),
             mp_context=multiprocessing.get_context("spawn"),
@@ -224,3 +253,5 @@ def batch_iterator(
             epoch += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+        if env_undo is not None:
+            env_undo()

@@ -50,3 +50,14 @@ LOSS_2D_WEIGHT = 0.1       # weight of the 2D-head L1 loss vs the 3D L1 loss
 # --- Eval protocol ------------------------------------------------------------
 PCK_THRESHOLD_MM = 150.0   # [PAPER] 3DHP PCK threshold
 AUC_THRESHOLDS_MM = tuple(range(0, 151, 5))  # [PAPER-style] AUC sweep 0..150mm
+
+# --- Two-pass warp kernel numerics (framework convention) ---------------------
+# Route a crop through the transposed-source kernel only when the default
+# pass-1 row-crossing denominator is at most this fraction of the swapped
+# one: ordinary crops keep the round-2 route bit-for-bit and only the
+# near-±90° in-plane-rotation band (ADVICE r2: h11 - w*h21 -> 0) reroutes.
+TWOPASS_SWAP_RATIO = 0.25
+# Signed clamp keeping the row-crossing / Newton denominators away from 0;
+# clamped rows are never blended with nonzero weight in pass 2 (they exist
+# only to keep intermediate values finite).
+TWOPASS_DEN_CLAMP = 1e-12

@@ -12,10 +12,12 @@ XLA inserts the gradient all-reduce and global-batch BN statistics over ICI.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 from metro_pose3d_tpu.config import Config
 from metro_pose3d_tpu.models.losses import compute_losses
@@ -43,7 +45,58 @@ def make_lr_schedule(cfg: Config):
     return sched
 
 
+class FlatAdamState(NamedTuple):
+    count: jnp.ndarray  # number of applied updates
+    mu: jnp.ndarray     # first moment, ONE concatenated f32 buffer
+    nu: jnp.ndarray     # second moment, same layout
+
+
+def flat_fused_adam(learning_rate, clip_norm: float = 0.0,
+                    b1: float = 0.9, b2: float = 0.999,
+                    eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam (+ optional global-norm clip) over ONE concatenated buffer.
+
+    The optax chain walks the ~155-leaf R50 tree leaf-by-leaf, which on the
+    v5e costs 8.2 ms/update standalone (11.8 in the train step) — mostly
+    per-leaf kernel overhead on the many small BN tensors. Raveling grads
+    into a single f32 vector and running the whole update as a few fused
+    elementwise passes measures 3.5 ms INCLUDING the clip (chip A/B
+    2026-08-17, scripts/exp_adam_probe.py; the concat/split is bandwidth
+    noise). Math matches `clip_by_global_norm(clip) + adam(lr)` exactly up
+    to float reassociation of the norm/concat order: bias correction uses
+    the post-increment count, the LR schedule the pre-increment count, as
+    optax does.
+    """
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        zeros = jnp.zeros(flat.shape, jnp.float32)
+        return FlatAdamState(count=jnp.zeros((), jnp.int32), mu=zeros, nu=zeros)
+
+    def update(grads, state, params=None):
+        del params
+        g, unravel = ravel_pytree(grads)
+        g = g.astype(jnp.float32)
+        if clip_norm > 0:
+            norm = jnp.sqrt(jnp.sum(g * g))
+            g = g * (clip_norm / jnp.maximum(norm, clip_norm))
+        count = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1**c)
+        nu_hat = nu / (1.0 - b2**c)
+        lr = sched(state.count)
+        flat_updates = (-lr) * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        return unravel(flat_updates), FlatAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    if cfg.train.fused_adam:
+        return flat_fused_adam(make_lr_schedule(cfg), cfg.train.grad_clip_norm)
     tx = optax.adam(make_lr_schedule(cfg))
     if cfg.train.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx)

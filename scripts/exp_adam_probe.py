@@ -27,14 +27,25 @@ import optax
 
 
 def timeit(fn, *args, iters=10, warmup=2):
+    # fn must return a SCALAR that consumes its outputs: staging the full
+    # param tree through the axon tunnel costs ~1 s/call and swamps the
+    # measurement (CLAUDE.md: keep jit outputs small; sync via np.asarray).
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out[0] if isinstance(out, tuple) else out)
+    np.asarray(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out[0] if isinstance(out, tuple) else out)
+    np.asarray(out)
     return (time.perf_counter() - t0) / iters
+
+
+def tree_sum(*trees):
+    tot = jnp.zeros((), jnp.float32)
+    for t in trees:
+        for leaf in jax.tree_util.tree_leaves(t):
+            tot = tot + jnp.sum(leaf.astype(jnp.float32))
+    return tot
 
 
 def main():
@@ -64,7 +75,7 @@ def main():
         @jax.jit
         def step(p, g, s, tx=tx):
             u, s2 = tx.update(g, s, p)
-            return optax.apply_updates(p, u), s2
+            return tree_sum(optax.apply_updates(p, u), s2)
 
         t = timeit(step, params, grads, opt_state)
         print(f"{name:28s}: {t*1e3:7.2f} ms", flush=True)
@@ -88,7 +99,7 @@ def main():
         v = b2 * v + (1 - b2) * g * g
         mh = m / (1 - b1 ** t)
         vh = v / (1 - b2 ** t)
-        return p - lr * mh / (jnp.sqrt(vh) + eps), m, v
+        return tree_sum(p - lr * mh / (jnp.sqrt(vh) + eps), m, v)
 
     f_plain = jax.jit(lambda p, g, m, v: flat_adam(p, g, m, v, 10.0))
     f_clip = jax.jit(lambda p, g, m, v: flat_adam(p, g, m, v, 10.0, clip=1.0))

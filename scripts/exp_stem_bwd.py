@@ -99,6 +99,7 @@ def main():
     def pool_only(y):
         return jnp.sum(P.max_pool_3x3_stride2_same(y).astype(jnp.float32))
 
+    default_impl = P.POOL_BWD_IMPL
     for impl in ("masks", "maxtree"):
         P.POOL_BWD_IMPL = impl
         f_fwd = jax.jit(pool_only)
@@ -109,7 +110,7 @@ def main():
         print(f"{'pool alone bwd=' + impl:34s}: fwd {t_f*1e3:7.2f}  "
               f"fwd+bwd {t_b*1e3:7.2f}  bwd {1e3*(t_b-t_f):7.2f} ms",
               flush=True)
-    P.POOL_BWD_IMPL = "masks"
+    P.POOL_BWD_IMPL = default_impl  # restore the module default for later runs
 
     # 5. one stage-1 bottleneck block at 64^2
     from metro_pose3d_tpu.models.resnet import Bottleneck

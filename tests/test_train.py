@@ -207,6 +207,55 @@ class TestGradClip:
         tx.init(params)  # constructs fine
 
 
+class TestFusedAdam:
+    def test_matches_optax_chain(self):
+        """flat_fused_adam tracks clip_by_global_norm+adam step for step."""
+        import optax
+
+        from metro_pose3d_tpu.train.loop import flat_fused_adam
+
+        sched = optax.exponential_decay(1e-3, 50, 0.5)
+        ref_tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+        fused_tx = flat_fused_adam(sched, clip_norm=1.0)
+
+        rng = np.random.default_rng(0)
+        params = {
+            "conv": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 2, 4)), jnp.float32)},
+            "bn": {"scale": jnp.asarray(rng.normal(size=(4,)), jnp.float32),
+                   "bias": jnp.zeros((4,), jnp.float32)},
+        }
+        p_ref = jax.tree_util.tree_map(jnp.copy, params)
+        p_fused = jax.tree_util.tree_map(jnp.copy, params)
+        s_ref, s_fused = ref_tx.init(p_ref), fused_tx.init(p_fused)
+        for step in range(5):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape) * (100.0 if step == 2 else 0.1),
+                    jnp.float32),
+                params)  # step 2 exercises the clip branch
+            u_ref, s_ref = ref_tx.update(grads, s_ref, p_ref)
+            u_fused, s_fused = fused_tx.update(grads, s_fused, p_fused)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fused = optax.apply_updates(p_fused, u_fused)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_config_selects_fused(self):
+        from metro_pose3d_tpu.config import Config, apply_overrides
+        from metro_pose3d_tpu.train.loop import FlatAdamState, make_optimizer
+
+        cfg = apply_overrides(Config(), {"train.fused_adam": "true"})
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        assert isinstance(state, FlatAdamState)
+        updates, state2 = tx.update({"w": jnp.full(3, 0.1)}, state, params)
+        assert updates["w"].shape == (3,)
+        assert int(state2.count) == 1
+
+
 class TestBestCheckpoint:
     def test_best_tracking_and_restore(self, tmp_path):
         import optax
