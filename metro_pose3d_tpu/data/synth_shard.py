@@ -328,16 +328,128 @@ def write_synthetic_mpii_release(
     return mat_path
 
 
+# SMPL-24 upright-person template (meters relative to the pelvis), in the
+# package's SMPL_24 joint order (geom/joints.py): per-joint height above the
+# pelvis and lateral offset. Used to fabricate plausibly articulated people
+# whose skeleton-derived `world_up` (data/tdpw._sequence_up) is recoverable.
+_SMPL_UP_M = np.array(
+    [0.0, -0.05, -0.05, 0.15, -0.45, -0.45, 0.3, -0.85, -0.85, 0.45,
+     -0.9, -0.9, 0.55, 0.5, 0.5, 0.7, 0.5, 0.5, 0.25, 0.25,
+     0.0, 0.0, -0.05, -0.05])
+_SMPL_X_M = np.array(
+    [0.0, 0.1, -0.1, 0.0, 0.1, -0.1, 0.0, 0.1, -0.1, 0.0,
+     0.12, -0.12, 0.0, 0.08, -0.08, 0.0, 0.2, -0.2, 0.3, -0.3,
+     0.35, -0.35, 0.38, -0.38])
+
+
+def write_synthetic_3dpw_release(
+    data_root: str,
+    seed: int = 3,
+    imshape=(600, 800),
+    jpeg_quality: int = 95,
+) -> str:
+    """Write a deterministic mini release in the official 3DPW layout.
+
+    Exactly what `scripts/get_3dpw.sh` leaves on disk and `data/tdpw.py`
+    parses: `3dpw/sequenceFiles/test/<seq>.pkl` (python-2-era pickles with
+    jointPositions [F,72] world METERS per actor, cam_poses [F,4,4]
+    world->cam, shared cam_intrinsics, campose_valid) plus
+    `3dpw/imageFiles/<seq>/image_%05d.jpg`. Two test sequences, two actors
+    each; the second sequence carries a non-identity extrinsic so the
+    world->camera math is genuinely exercised, and one actor-frame is
+    marked campose-invalid to exercise the validity filter. Byte-stable
+    for fixed arguments, so multiperson-protocol goldens pinned on it hold.
+    """
+    import pickle
+
+    import cv2
+
+    root = os.path.join(data_root, "3dpw")
+    rng = np.random.default_rng(seed)
+    h, w = imshape
+    intr = np.array([[800.0, 0.0, w / 2.0], [0.0, 800.0, h / 2.0], [0.0, 0.0, 1.0]])
+    # y-DOWN (CV-convention) world, like the release's near-camera frame:
+    # "above the pelvis" is NEGATIVE y
+    skel = np.stack([_SMPL_X_M, -_SMPL_UP_M, np.zeros(24)], axis=-1)
+
+    # (sequence name, n_actors, n_frames, camera yaw about world-y [rad])
+    sequences = (
+        ("courtyard_synthA_00", 2, 3, 0.0),
+        ("downtown_synthB_00", 2, 3, 0.18),
+    )
+    for seq_name, n_actors, n_frames, yaw in sequences:
+        seq_dir = os.path.join(root, "sequenceFiles", "test")
+        img_dir = os.path.join(root, "imageFiles", seq_name)
+        os.makedirs(seq_dir, exist_ok=True)
+        os.makedirs(img_dir, exist_ok=True)
+
+        c, s = np.cos(yaw), np.sin(yaw)
+        r = np.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
+        t = np.array([0.05, -0.02, 0.1]) if yaw else np.zeros(3)
+        cam_pose = np.eye(4)
+        cam_pose[:3, :3] = r
+        cam_pose[:3, 3] = t
+        cam_poses = np.tile(cam_pose, (n_frames, 1, 1))
+
+        joints, valids = [], []
+        for a in range(n_actors):
+            base_cam = np.array([(a - (n_actors - 1) / 2.0) * 1.3, 0.25, 3.6])
+            jp_world = np.zeros((n_frames, 24, 3))
+            for f in range(n_frames):
+                drift = np.array([0.08 * f * (1.0 if a == 0 else -1.0), 0.0, 0.1 * f])
+                p_cam = base_cam + drift + skel + rng.normal(0, 0.02, (24, 3))
+                # p_world = R^T (p_cam - t); row-major: (R^T p)_i == p @ R
+                jp_world[f] = (p_cam - t) @ r
+            joints.append(jp_world.reshape(n_frames, 72))
+            valids.append(np.ones(n_frames))
+        valids[-1][1] = 0.0  # actor 1 campose-invalid in frame 1
+
+        with open(os.path.join(seq_dir, seq_name + ".pkl"), "wb") as f:
+            pickle.dump(
+                {
+                    "sequence": seq_name,
+                    "jointPositions": joints,
+                    "campose_valid": valids,
+                    "cam_poses": cam_poses,
+                    "cam_intrinsics": intr,
+                },
+                f,
+                protocol=2,
+            )
+
+        for fidx in range(n_frames):
+            img = np.full((h, w, 3), 96, np.uint8)
+            for a in range(n_actors):
+                jw = joints[a].reshape(n_frames, 24, 3)[fidx]
+                p_cam = jw @ r.T + t  # p_cam = R p_world + t (row-major)
+                px = (p_cam[:, :2] / p_cam[:, 2:3]) * intr[0, 0] + intr[:2, 2]
+                for j, p in enumerate(px):
+                    color = (int(40 + (17 * j) % 200), int(60 + (29 * j) % 180),
+                             int(50 + (41 * j) % 190))
+                    cv2.circle(img, (int(round(p[0])), int(round(p[1]))),
+                               9, color, -1)
+            ok = cv2.imwrite(
+                os.path.join(img_dir, f"image_{fidx:05d}.jpg"),
+                img[..., ::-1],
+                [int(cv2.IMWRITE_JPEG_QUALITY), jpeg_quality],
+            )
+            if not ok:
+                raise IOError(f"could not write {seq_name} frame {fidx}")
+    return root
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--frames-per-sequence", type=int, default=4)
-    ap.add_argument("--dataset", choices=("h36m", "3dhp"), default="h36m")
+    ap.add_argument("--dataset", choices=("h36m", "3dhp", "3dpw"), default="h36m")
     args = ap.parse_args()
     if args.dataset == "3dhp":
         path = write_synthetic_3dhp_shard(args.data_root)
+    elif args.dataset == "3dpw":
+        path = write_synthetic_3dpw_release(args.data_root)
     else:
         path = write_synthetic_h36m_shard(
             args.data_root, frames_per_sequence=args.frames_per_sequence

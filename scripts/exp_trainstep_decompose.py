@@ -34,7 +34,7 @@ def main():
     sections = sys.argv[2].split(",") if len(sys.argv) > 2 else ["aug", "fwd", "step", "full"]
     sys.path.insert(0, "/root/repo/scripts")
     from bench_device import make_batch
-    from metro_pose3d_tpu.config import Config
+    from metro_pose3d_tpu.config import Config, apply_overrides
     from metro_pose3d_tpu.models.losses import compute_losses
     from metro_pose3d_tpu.models.metro import MetroModel
     from metro_pose3d_tpu.pipeline.device import device_augment
@@ -42,6 +42,11 @@ def main():
     from metro_pose3d_tpu.train.state import TrainState
 
     cfg = Config()
+    # argv[3:]: dotted config overrides, e.g. train.fused_adam=true
+    overrides = dict(a.split("=", 1) for a in sys.argv[3:])
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+        print(f"overrides: {overrides}")
     j, tile, side = cfg.model.num_joints, cfg.data.source_side, cfg.model.proc_side
     rng = np.random.RandomState(0)
     batch = make_batch(bs, tile, side, j, rng, None)
