@@ -71,8 +71,13 @@ def flat_fused_adam(learning_rate, clip_norm: float = 0.0,
 
     def init(params):
         flat, _ = ravel_pytree(params)
-        zeros = jnp.zeros(flat.shape, jnp.float32)
-        return FlatAdamState(count=jnp.zeros((), jnp.int32), mu=zeros, nu=zeros)
+        # mu and nu MUST be distinct buffers: donated train-state trees
+        # that alias one buffer twice die on the TPU backend with an opaque
+        # INVALID_ARGUMENT at run time (axon, 2026-08-17 — reproduced and
+        # isolated by scripts/exp_fused_adam_probe.py)
+        return FlatAdamState(count=jnp.zeros((), jnp.int32),
+                             mu=jnp.zeros(flat.shape, jnp.float32),
+                             nu=jnp.zeros(flat.shape, jnp.float32))
 
     def update(grads, state, params=None):
         del params

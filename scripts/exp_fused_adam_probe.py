@@ -27,6 +27,7 @@ import numpy as np
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n_occ = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     from bench_device import make_batch
     from metro_pose3d_tpu.config import Config, apply_overrides
     from metro_pose3d_tpu.train.loop import make_optimizer, make_train_step
@@ -37,7 +38,8 @@ def main():
     j, tile, side = cfg0.model.num_joints, cfg0.data.source_side, cfg0.model.proc_side
     rng = np.random.RandomState(0)
     batch = make_batch(bs, tile, side, j, rng, None)
-    occ = jnp.asarray(rng.uniform(0, 1, (16, 128, 128, 4)), jnp.float32)
+    occ = jnp.asarray(rng.uniform(0, 1, (n_occ, 128, 128, 4)), jnp.float32)
+    print(f"bs={bs} occluder bank={n_occ} tiles", flush=True)
 
     model = MetroModel(cfg0.model)
     variables = model.init(jax.random.PRNGKey(0),
@@ -50,7 +52,10 @@ def main():
                            params=variables["params"],
                            batch_stats=variables["batch_stats"],
                            opt_state=tx.init(variables["params"]))
-        state = jax.tree_util.tree_map(jnp.copy, state)
+        if "nocopy" not in sys.argv:
+            # fresh buffers; with "nocopy" the state aliases `variables`
+            # across samplers like exp_trainstep_decompose's full section
+            state = jax.tree_util.tree_map(jnp.copy, state)
         step_fn = make_train_step(cfg, tx, 0, occluder_bank=occ)
         try:
             state, m = step_fn(state, batch)

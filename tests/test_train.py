@@ -242,6 +242,18 @@ class TestFusedAdam:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
 
+    def test_init_moments_are_distinct_buffers(self):
+        """mu/nu must not alias one buffer: a donated train-state tree that
+        carries the same buffer twice dies on the TPU backend with an opaque
+        INVALID_ARGUMENT at run time (isolated by
+        scripts/exp_fused_adam_probe.py, 2026-08-17)."""
+        from metro_pose3d_tpu.train.loop import flat_fused_adam
+
+        state = flat_fused_adam(1e-3).init({"w": jnp.ones(8)})
+        assert state.mu is not state.nu
+        assert (state.mu.unsafe_buffer_pointer()
+                != state.nu.unsafe_buffer_pointer())
+
     def test_config_selects_fused(self):
         from metro_pose3d_tpu.config import Config, apply_overrides
         from metro_pose3d_tpu.train.loop import FlatAdamState, make_optimizer
