@@ -36,6 +36,11 @@ class ModelConfig:
     box_size_mm: float = C.BOX_SIZE_MM
     num_joints: int = 17
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    matmul_precision: str = ""      # "" (platform default; TPU: bf16 inputs
+                                    # even for f32 arrays) | "highest" (f32
+                                    # everywhere — exact CPU<->TPU protocol
+                                    # parity, ~3x slower convs; applied as
+                                    # jax's global default by main.py)
     # inference-only int8 conv path ("none" | "int8"; "calib" is used
     # internally by models/quantize.calibrate). Requires a calibration
     # pass — see models/quantize.py.

@@ -93,3 +93,26 @@ def test_export_int8_calibrates_and_bundles(tmp_path):
         [[90.0, 0, 31.5], [0, 90.0, 31.5], [0, 0, 1]], jnp.float32)[None], (2, 1, 1))
     res = fn(loaded, crops, intr)
     assert np.isfinite(np.asarray(res["pose3d_rootrel"])).all()
+
+
+def test_matmul_precision_flag_sets_global(tmp_path, capsys):
+    """model.matmul_precision plumbs into jax's global default (exact
+    CPU<->TPU protocol parity mode; scripts/exp_shard_parity_chip.py)."""
+    import jax
+
+    from metro_pose3d_tpu.main import main
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        preds = tmp_path / "p.npz"
+        n = 4
+        rng = np.random.default_rng(0)
+        gt = rng.normal(0, 300, (n, 17, 3)).astype(np.float32)
+        np.savez(preds, pose3d_rootrel=gt + 5, gt3d_rootrel=gt,
+                 actions=np.array(["Walking"] * n))
+        rc = main(["--eval-h36m", f"--eval.pred_path={preds}",
+                   "--model.matmul_precision=highest"])
+        assert rc == 0
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
