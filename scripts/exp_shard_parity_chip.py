@@ -1,20 +1,29 @@
 #!/usr/bin/env python
-"""Protocol parity ON CHIP: run the frozen-H36M-shard predict path (tiny
-model, flip-TTA + bone rescale + absolute reconstruction) on the real TPU
-and compare against the golden pinned by the CPU test suite
-(tests/golden/h36m_shard_golden.json).
+"""Protocol parity ON CHIP: run a frozen-shard predict path (tiny model,
+flip-TTA + bone rescale + absolute reconstruction) on the real TPU and
+compare against the golden pinned by the CPU test suite.
+
+Datasets: h36m (tests/golden/h36m_shard_golden.json, per-action MPJPE) and
+3dhp (tests/golden/3dhp_shard_golden.json, per-activity PCK/AUC/univ).
 
 This is the strongest single-chip parity statement available without
 licensed data: the SAME disk shard, SAME weights (PRNGKey(42) init), SAME
 predict graph — the CPU 8-virtual-device mesh and the axon chip must agree
-on the protocol MPJPE to float tolerance (everything numerics-relevant is
-pinned: precision=HIGHEST einsums, f32 compute dtype in the rehearsal
-config, deterministic crops).
+on the protocol numbers. Two modes are measured:
+  1) platform default matmul precision — TPU feeds bf16-mantissa inputs to
+     f32 convs, so a bounded sub-0.1% drift is expected and asserted;
+  2) jax_default_matmul_precision="highest" (the CLI's
+     `model.matmul_precision=highest`) — must match the CPU golden to
+     rtol 1e-4 on every pinned number.
 
-Expects the shard at /tmp/h36m_shard (written CPU-side by
-data/synth_shard.write_synthetic_h36m_shard — byte-stable).
+Measured 2026-08-17 (v5e, H36M shard): default drift 4.75e-04 relative
+(511.2308 vs 511.4738 mm); highest 511.473907 vs 511.473816 — exact to
+rtol 1e-4 incl. every per-action row.
 
-Run: timeout 1500 python scripts/exp_shard_parity_chip.py
+Expects the shard under /tmp/h36m_shard / /tmp/t3dhp (written CPU-side by
+data/synth_shard — byte-stable).
+
+Run: timeout 1500 python scripts/exp_shard_parity_chip.py [h36m|3dhp]
 """
 import json
 import os
@@ -26,10 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-GOLDEN = "/root/repo/tests/golden/h36m_shard_golden.json"
-
 OVERRIDES = {
-    # mirror tests/test_h36m_shard.py OVERRIDES exactly
+    # mirror tests/test_{h36m,3dhp}_shard.py OVERRIDES exactly
     "model.backbone": "tiny",
     "model.proc_side": "64",
     "model.depth": "4",
@@ -42,56 +49,80 @@ OVERRIDES = {
     "eval.scale_recovery": "bone_lengths",
 }
 
+DATASETS = {
+    "h36m": dict(
+        root="/tmp/h36m_shard",
+        golden="/root/repo/tests/golden/h36m_shard_golden.json",
+        keys=("mpjpe", "pa_mpjpe", "abs_mpjpe"),
+        table="per_action_mpjpe",
+        headline="mpjpe",
+    ),
+    "3dhp": dict(
+        root="/tmp/t3dhp",
+        golden="/root/repo/tests/golden/3dhp_shard_golden.json",
+        keys=("pck_150", "auc", "mpjpe", "pck_150_univ", "auc_univ"),
+        table="per_activity_pck",
+        headline="mpjpe",
+    ),
+}
 
-def run_once(tag: str) -> dict:
+
+def run_once(name: str, tag: str) -> dict:
     from metro_pose3d_tpu.config import Config, apply_overrides
-    from metro_pose3d_tpu.data.h36m import H36MDataset
-    from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
     from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
     from metro_pose3d_tpu.models.metro import MetroModel
 
+    spec = DATASETS[name]
     cfg = apply_overrides(Config(), OVERRIDES)
-    ds = H36MDataset("/tmp/h36m_shard")
+    if name == "h36m":
+        from metro_pose3d_tpu.data.h36m import H36MDataset
+        from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+
+        ds = H36MDataset(spec["root"])
+    else:
+        from metro_pose3d_tpu.data.mpi_inf_3dhp import Mpi3dhpDataset
+        from metro_pose3d_tpu.evaluation.eval_3dhp import evaluate
+
+        ds = Mpi3dhpDataset(spec["root"])
     model = MetroModel(cfg.model)
     variables = model.init(
         jax.random.PRNGKey(42), jnp.zeros((1, 64, 64, 3), jnp.float32),
         train=False,
     )
     result = predict_dataset(cfg, variables, ds)
-    path = f"/tmp/h36m_shard/predictions_chip_{tag}.npz"
+    path = os.path.join(spec["root"], f"predictions_chip_{tag}.npz")
     save_predictions(result, path)
     return evaluate(path)
 
 
 def main():
-    print("device:", jax.devices()[0].platform, flush=True)
-    with open(GOLDEN) as f:
+    name = sys.argv[1] if len(sys.argv) > 1 else "h36m"
+    spec = DATASETS[name]
+    print("device:", jax.devices()[0].platform, " dataset:", name, flush=True)
+    with open(spec["golden"]) as f:
         golden = json.load(f)
-    print(f"gold     mpjpe {golden['mpjpe']:.6f}  pa {golden['pa_mpjpe']:.6f}  "
-          f"abs {golden['abs_mpjpe']:.6f}")
+    head = spec["headline"]
+    print(f"gold     {head} {golden[head]:.6f}")
 
-    # 1) platform default: TPU feeds bf16-mantissa inputs to f32 convs, so a
-    # sub-0.1% protocol drift vs the CPU golden is EXPECTED and bounded here
-    scores = run_once("default")
-    drift = abs(scores["mpjpe"] - golden["mpjpe"]) / golden["mpjpe"]
-    print(f"default  mpjpe {scores['mpjpe']:.6f}  pa {scores['pa_mpjpe']:.6f}  "
-          f"abs {scores['abs_mpjpe']:.6f}   rel drift {drift:.2e}", flush=True)
+    scores = run_once(name, "default")
+    drift = abs(scores[head] - golden[head]) / max(abs(golden[head]), 1e-9)
+    print(f"default  {head} {scores[head]:.6f}   rel drift {drift:.2e}", flush=True)
     assert drift < 2e-3, f"default-precision drift too large: {drift}"
 
-    # 2) model.matmul_precision=highest: exact CPU<->TPU protocol parity
     jax.config.update("jax_default_matmul_precision", "highest")
-    scores = run_once("highest")
-    print(f"highest  mpjpe {scores['mpjpe']:.6f}  pa {scores['pa_mpjpe']:.6f}  "
-          f"abs {scores['abs_mpjpe']:.6f}", flush=True)
-    for key in ("mpjpe", "pa_mpjpe", "abs_mpjpe"):
+    scores = run_once(name, "highest")
+    print(f"highest  {head} {scores[head]:.6f}", flush=True)
+    for key in spec["keys"]:
+        if key not in golden:
+            continue
         np.testing.assert_allclose(scores[key], golden[key], rtol=1e-4,
                                    err_msg=f"chip-vs-golden drift: {key}")
-    for action, val in golden["per_action_mpjpe"].items():
+    for group, val in golden.get(spec["table"], {}).items():
         np.testing.assert_allclose(
-            scores["per_action_mpjpe"][action], val, rtol=1e-4,
-            err_msg=f"per-action drift: {action}")
-    print("CHIP (matmul_precision=highest) MATCHES CPU-PINNED PROTOCOL "
-          "GOLDEN (rtol 1e-4)")
+            scores[spec["table"]][group], val, rtol=1e-4,
+            err_msg=f"per-group drift: {group}")
+    print(f"CHIP (matmul_precision=highest) MATCHES CPU-PINNED {name} "
+          "PROTOCOL GOLDEN (rtol 1e-4)")
 
 
 if __name__ == "__main__":
