@@ -176,6 +176,23 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 
+def apply_matmul_precision(cfg: "Config") -> None:
+    """Honor `model.matmul_precision` as jax's global default.
+
+    Called by every entry point that runs the model (main.py CLI,
+    trainer.train, evaluation.predict.*), so the field works for
+    programmatic users too, not just the CLI. TPU's platform default feeds
+    bf16-mantissa inputs to f32 matmuls; "highest" makes chip protocol
+    numbers match the CPU-pinned goldens to rtol 1e-4
+    (scripts/exp_shard_parity_chip.py, BASELINE round-3 section).
+    """
+    if cfg.model.matmul_precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.model.matmul_precision)
+
+
 def _coerce(value: str, target_type):
     if target_type is bool:
         return value.lower() in ("1", "true", "yes", "on")

@@ -356,9 +356,10 @@ def write_synthetic_3dpw_release(
     world->cam, shared cam_intrinsics, campose_valid) plus
     `3dpw/imageFiles/<seq>/image_%05d.jpg`. Two test sequences, two actors
     each; the second sequence carries a non-identity extrinsic so the
-    world->camera math is genuinely exercised, and one actor-frame is
-    marked campose-invalid to exercise the validity filter. Byte-stable
-    for fixed arguments, so multiperson-protocol goldens pinned on it hold.
+    world->camera math is genuinely exercised, and one actor-frame PER
+    SEQUENCE is marked campose-invalid (two total) to exercise the
+    validity filter. Byte-stable for fixed arguments, so
+    multiperson-protocol goldens pinned on it hold.
     """
     import pickle
 

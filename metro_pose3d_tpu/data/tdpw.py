@@ -42,13 +42,21 @@ def _load_sequence(path: str) -> dict:
 def _camera_from_pose(
     cam_pose: np.ndarray, intrinsics: np.ndarray, world_up=(0.0, -1.0, 0.0)
 ) -> Camera:
-    """4x4 world->cam extrinsic + K -> Camera (R, optical center in world)."""
+    """4x4 world->cam extrinsic (translation ALREADY in mm) + K -> Camera.
+
+    `_index_sequence` converts the release's meter translations to mm once
+    at parse time (`cam_poses[:, :3, 3] *= 1000`); scaling again here
+    multiplied the optical center by 1000 for every sequence with non-zero
+    camera translation — i.e. every real handheld 3DPW sequence. Invisible
+    with identity extrinsics, caught by the round-3 synthetic release's
+    non-identity sequence (tests/test_3dpw_shard.py pins the GT geometry).
+    """
     rc = cam_pose[:3, :3]
     tc = cam_pose[:3, 3]
     return Camera(
         intrinsic_matrix=intrinsics,
         rot_world_to_cam=rc,
-        optical_center=-rc.T @ tc * 1000.0,  # meters -> mm
+        optical_center=-rc.T @ tc,  # mm
         world_up=world_up,
     )
 

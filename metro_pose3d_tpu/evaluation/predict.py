@@ -96,6 +96,9 @@ def predict_dataset(
     agree across processes). `predict_fn` reuses a previously built fused
     predict fn (see `make_predict_fn` args used below) to avoid re-jitting.
     """
+    from metro_pose3d_tpu.config import apply_matmul_precision
+
+    apply_matmul_precision(cfg)
     ji = dataset.joint_info
     root = ji.names.index(dataset.root_joint)
     if jax.process_count() > 1:
@@ -190,8 +193,10 @@ def predict_multiperson_dataset(
     `test_frame(i) -> (image, boxes, camera, world [P,J,3], seq)`.
     Returns the eval_3dpw dump layout (one row per person instance).
     """
+    from metro_pose3d_tpu.config import apply_matmul_precision
     from metro_pose3d_tpu.multiperson import MultiPersonEstimator
 
+    apply_matmul_precision(cfg)
     ji = dataset.joint_info
     root = ji.names.index(dataset.root_joint)
     est = MultiPersonEstimator(

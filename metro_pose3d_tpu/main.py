@@ -64,15 +64,9 @@ def main(argv=None):
     cfg, rest = parse_cli(argv if argv is not None else sys.argv[1:])
     modes = {a for a in rest if a.startswith("--")}
 
-    if cfg.model.matmul_precision:
-        # global default for every dot/conv without an explicit precision=
-        # (model convs); TPU's platform default feeds bf16-mantissa inputs
-        # to f32 matmuls — "highest" makes chip protocol numbers match the
-        # CPU-pinned goldens exactly (scripts/exp_shard_parity_chip.py)
-        import jax
+    from metro_pose3d_tpu.config import apply_matmul_precision
 
-        jax.config.update("jax_default_matmul_precision",
-                          cfg.model.matmul_precision)
+    apply_matmul_precision(cfg)
 
     if "--train" in modes:
         from metro_pose3d_tpu.data import get_dataset

@@ -115,6 +115,9 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
           max_steps: Optional[int] = None, occluder_root: Optional[str] = None,
           background_root: Optional[str] = None):
     """Run training to `num_steps` (or `max_steps`); returns final state."""
+    from metro_pose3d_tpu.config import apply_matmul_precision
+
+    apply_matmul_precision(cfg)
     os.makedirs(cfg.train.logdir, exist_ok=True)
     with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
         f.write(config_to_json(cfg))

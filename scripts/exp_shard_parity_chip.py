@@ -11,7 +11,7 @@ licensed data: the SAME disk shard, SAME weights (PRNGKey(42) init), SAME
 predict graph — the CPU 8-virtual-device mesh and the axon chip must agree
 on the protocol numbers. Two modes are measured:
   1) platform default matmul precision — TPU feeds bf16-mantissa inputs to
-     f32 convs, so a bounded sub-0.1% drift is expected and asserted;
+     f32 convs; measured drift ~0.05-0.07%, asserted < 0.15%;
   2) jax_default_matmul_precision="highest" (the CLI's
      `model.matmul_precision=highest`) — must match the CPU golden to
      rtol 1e-4 on every pinned number.
@@ -107,7 +107,8 @@ def main():
     scores = run_once(name, "default")
     drift = abs(scores[head] - golden[head]) / max(abs(golden[head]), 1e-9)
     print(f"default  {head} {scores[head]:.6f}   rel drift {drift:.2e}", flush=True)
-    assert drift < 2e-3, f"default-precision drift too large: {drift}"
+    # measured 4.75e-4 (h36m) / 6.94e-4 (3dhp); assert with ~2x headroom
+    assert drift < 1.5e-3, f"default-precision drift too large: {drift}"
 
     jax.config.update("jax_default_matmul_precision", "highest")
     scores = run_once(name, "highest")

@@ -43,7 +43,7 @@ OVERRIDES = {
 }
 
 
-def _run_protocol(tmp_root: str) -> dict:
+def _run_protocol(tmp_root: str) -> tuple:
     """Write the release, run parser -> multiperson predict -> dump -> eval."""
     from metro_pose3d_tpu.data.synth_shard import write_synthetic_3dpw_release
     from metro_pose3d_tpu.data.tdpw import Tdpw3Dataset
@@ -109,6 +109,24 @@ class TestTdpwProtocolRehearsal:
         # live in tests/test_multiperson.py::test_absolute_poses_in_shared_frame
         # with a crafted consistent model
         assert np.isfinite(scores["abs_mpjpe"])
+
+    def test_gt_camera_geometry(self, protocol):
+        """The non-identity-extrinsic sequence genuinely validates the
+        world->camera math: GT people sit meters (not kilometers) in front
+        of the camera and project inside the image. This is the assertion
+        that catches unit bugs like the meters->mm double conversion the
+        parser shipped with until round 3 (camera optical center 1000x off
+        for any sequence with non-zero camera translation)."""
+        _, _, result, ds = protocol
+        root_depth_m = result["gt3d_abs"][:, :, 2].mean(-1) / 1000.0
+        assert np.all((2.0 < root_depth_m) & (root_depth_m < 6.0)), root_depth_m
+        for i in range(ds.n_test_frames):
+            img, boxes, cam, world, _ = ds.test_frame(i)
+            h, w = img.shape[:2]
+            for person in world:
+                px = cam.world_to_image(person)
+                assert np.all(px > -50) and np.all(px[:, 0] < w + 50) \
+                    and np.all(px[:, 1] < h + 50), px
 
     @pytest.mark.skipif(not os.path.exists(GOLDEN_PATH), reason="no golden file")
     def test_matches_golden(self, protocol):
