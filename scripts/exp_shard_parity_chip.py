@@ -95,8 +95,51 @@ def run_once(name: str, tag: str) -> dict:
     return evaluate(path)
 
 
+def run_int8():
+    """int8-PTQ protocol parity on chip vs tests/golden/int8_shard_golden.json
+    (calibrate on the frozen shard's eval crops, same weights/seed as the CPU
+    suite; asserts the fp number to rtol 1e-4 and the int8 number to 1e-3 —
+    the quantized graph's rounding is hardware-scheduling-sensitive)."""
+    import dataclasses
+
+    from metro_pose3d_tpu.config import Config, apply_overrides
+    from metro_pose3d_tpu.data.h36m import H36MDataset
+    from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+    from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+    from metro_pose3d_tpu.models.metro import MetroModel
+    from metro_pose3d_tpu.models.quantize import calibrate_on_dataset
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cfg = apply_overrides(Config(), OVERRIDES)
+    ds = H36MDataset("/tmp/h36m_shard")
+    model = MetroModel(cfg.model)
+    variables = model.init(jax.random.PRNGKey(42),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    cfg8 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+    calibrated = calibrate_on_dataset(cfg8, dict(variables), ds, n_batches=2)
+    scores = {}
+    for tag, c, v in (("fp", cfg, variables), ("int8", cfg8, calibrated)):
+        result = predict_dataset(c, v, ds)
+        path = f"/tmp/h36m_shard/predictions_chip_i8_{tag}.npz"
+        save_predictions(result, path)
+        scores[f"mpjpe_{tag}"] = evaluate(path)["mpjpe"]
+    with open("/root/repo/tests/golden/int8_shard_golden.json") as f:
+        golden = json.load(f)
+    print(f"chip fp   {scores['mpjpe_fp']:.6f}  (gold {golden['mpjpe_fp']:.6f})")
+    print(f"chip int8 {scores['mpjpe_int8']:.6f}  (gold {golden['mpjpe_int8']:.6f})")
+    np.testing.assert_allclose(scores["mpjpe_fp"], golden["mpjpe_fp"], rtol=1e-4)
+    np.testing.assert_allclose(scores["mpjpe_int8"], golden["mpjpe_int8"], rtol=1e-3)
+    print("CHIP int8 PTQ PROTOCOL MATCHES CPU-PINNED GOLDEN")
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "h36m"
+    if name == "int8":
+        print("device:", jax.devices()[0].platform, " dataset: h36m(int8)",
+              flush=True)
+        run_int8()
+        return
     spec = DATASETS[name]
     print("device:", jax.devices()[0].platform, " dataset:", name, flush=True)
     with open(spec["golden"]) as f:
