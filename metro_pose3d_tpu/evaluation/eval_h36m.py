@@ -21,20 +21,32 @@ def evaluate(pred_path: str) -> dict:
     valid = data["valid"] if "valid" in data else None
 
     per_example = np.linalg.norm(pred - gt, axis=-1)
+    # guarded means: an example with NO valid joint (fully truncated crop)
+    # or a joint invalid in EVERY example must be excluded, not turned into
+    # a NaN that poisons its per-action / per-joint row (same class as the
+    # eval_3dhp per-activity guard)
     if valid is not None:
         v = valid.astype(bool)
-        per_example = np.where(v, per_example, np.nan)
-    per_example_mean = np.nanmean(per_example, axis=-1)
+        per_example_mean = (np.where(v, per_example, 0.0).sum(-1)
+                            / np.maximum(v.sum(-1), 1))
+        example_ok = v.any(-1)
+        per_joint = (np.where(v, per_example, 0.0).sum(0)
+                     / np.maximum(v.sum(0), 1))
+    else:
+        per_example_mean = per_example.mean(-1)
+        example_ok = np.ones(len(per_example), bool)
+        per_joint = per_example.mean(0)
 
     result = {
         "mpjpe": mpjpe(pred, gt, valid),
         "pa_mpjpe": pa_mpjpe(pred, gt, valid),
     }
     if "actions" in data:
-        table, _ = per_group_table(per_example_mean, data["actions"])
+        table, _ = per_group_table(
+            per_example_mean[example_ok], np.asarray(data["actions"])[example_ok]
+        )
         result["per_action_mpjpe"] = table
     if "joint_names" in data:
-        per_joint = np.nanmean(per_example, axis=0)
         result["per_joint_mpjpe"] = {
             str(name): float(v)
             for name, v in zip(data["joint_names"], per_joint)

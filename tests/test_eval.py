@@ -327,3 +327,37 @@ class TestH36mActionCanonicalization:
 
         with pytest.raises(ValueError, match="unknown H36M action"):
             canonical_action("Moonwalking 1")
+
+
+class TestAllInvalidExampleGuard:
+    """An example with zero valid joints (fully truncated crop) must be
+    EXCLUDED from grouped tables, not poison them with NaN."""
+
+    def _dump(self, tmp_path, scorer):
+        rng = np.random.default_rng(0)
+        n, j = 8, 17
+        gt = rng.normal(0, 200, (n, j, 3)).astype(np.float32)
+        pred = gt + rng.normal(0, 10, (n, j, 3)).astype(np.float32)
+        valid = np.ones((n, j), bool)
+        valid[2] = False  # fully invalid example
+        path = tmp_path / "p.npz"
+        np.savez(path, pose3d_rootrel=pred, gt3d_rootrel=gt, valid=valid,
+                 actions=np.array(["Walking"] * 4 + ["Eating"] * 4),
+                 joint_names=np.array([f"j{i}" for i in range(j)]),
+                 univ_scale=np.ones(n, np.float32))
+        return scorer(str(path))
+
+    def test_eval_h36m_finite(self, tmp_path):
+        from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+
+        res = self._dump(tmp_path, evaluate)
+        assert np.isfinite(list(res["per_action_mpjpe"].values())).all()
+        assert np.isfinite(list(res["per_joint_mpjpe"].values())).all()
+        assert np.isfinite(res["mpjpe"])
+
+    def test_eval_3dhp_finite(self, tmp_path):
+        from metro_pose3d_tpu.evaluation.eval_3dhp import evaluate
+
+        res = self._dump(tmp_path, evaluate)
+        assert np.isfinite(list(res["per_activity_pck"].values())).all()
+        assert np.isfinite(res["pck_150"]) and np.isfinite(res["auc"])
