@@ -133,6 +133,156 @@ def _resample_twopass(src, u1, vt, tile_h, tile_w, nch):
     return _lerp_pass(tap0, tap1, fy, n0, n1, nch)  # [128, S] int32
 
 
+def _warp_kernel_skip(params_ref, swap_ref, src_ref, out_ref, t_ref, a0_ref,
+                      a1_ref, *scratch, tile_h, tile_w, out_side,
+                      newton_iters, swap_enabled):
+    """Range-skip variant of `_warp_kernel` (round 3, DESIGN §3.1.1's last
+    named lever): a typical crop samples only ~60% of the tile's rows and
+    columns (frame mode: far less), so both passes predicate their work on
+    the crop's actual source ranges.
+
+    - pass 2's fields are computed FIRST; the clipped tap rows' min/max
+      give the v-range [vlo, vhi];
+    - pass 1 runs per 128-row chunk under `pl.when(chunk ∩ v-range)`,
+      skipping the row-crossing solve, Newton refinement AND both gathers
+      for rows pass 2 never blends;
+    - within a live row chunk, the lane-gather loop over 128-wide source
+      column chunks skips chunks outside the rows' u-range (reduced over
+      rows inside the v-range only — junk rows would widen it to the
+      whole tile);
+    - pass 2's source-chunk loop skips chunks outside the v-range.
+
+    Accumulators live in VMEM scratch because `pl.when` is statement-level;
+    chunk selection is two-sided (membership, not overwrite order), which
+    picks identical values. Skipped work only ever affected taps whose
+    blend weight is exactly zero, so in exact arithmetic the output equals
+    the non-skip kernel bit-for-bit; in compiled arithmetic the cond-wrapped
+    field math may FMA-contract differently, flipping the uint8 rounding by
+    <= 1 LSB on rare boundary pixels (measured 10/147456; contract pinned by
+    tests/test_warp_twopass.py::test_skip_ranges_one_lsb).
+    """
+    ib = pl.program_id(0)
+    jblk = pl.program_id(1)
+    p = tuple(params_ref[ib, i] for i in range(N_PARAMS))
+
+    if swap_enabled:
+        scratch_ref = scratch[0]
+        sw = swap_ref[ib] != 0
+
+        @pl.when(sw)
+        def _():
+            scratch_ref[...] = src_ref[0].T
+
+        @pl.when(jnp.logical_not(sw))
+        def _():
+            scratch_ref[...] = src_ref[0]
+
+        src = scratch_ref[...]
+    else:
+        src = src_ref[0]
+
+    x0blk = (jblk * _LANE).astype(jnp.float32)
+
+    # ---- pass-2 fields first: the v-range gates pass 1 --------------------
+    xo_t = x0blk + lax.broadcasted_iota(
+        jnp.int32, (_LANE, out_side), 0).astype(jnp.float32)
+    yo_t = lax.broadcasted_iota(
+        jnp.int32, (_LANE, out_side), 1).astype(jnp.float32)
+    _, vt, front_t = map_uv_scalars(p, xo_t, yo_t)
+    vt = jnp.nan_to_num(jnp.clip(vt, -1e6, 1e6))
+    y0f = jnp.floor(vt)
+    fy = vt - y0f
+    y0 = y0f.astype(jnp.int32)
+    # front joins the tap masks: not-in-front pixels are zeroed anyway, and
+    # excluding them keeps behind-camera junk from widening the v-range
+    n0 = front_t & (y0 >= 0) & (y0 < tile_h)
+    n1 = front_t & (y0 + 1 >= 0) & (y0 + 1 < tile_h)
+    y0c = jnp.clip(y0, 0, tile_h - 1)
+    y1c = jnp.clip(y0 + 1, 0, tile_h - 1)
+    vlo = jnp.minimum(jnp.min(jnp.where(n0, y0c, tile_h - 1)),
+                      jnp.min(jnp.where(n1, y1c, tile_h - 1)))
+    vhi = jnp.maximum(jnp.max(jnp.where(n0, y0c, 0)),
+                      jnp.max(jnp.where(n1, y1c, 0)))
+
+    # ---- pass 1: horizontal resample, per live 128-row chunk --------------
+    nchunk1 = tile_w // _LANE
+    for row0 in range(0, tile_h, _LANE):
+        pred_rows = (row0 <= vhi) & (row0 + _LANE - 1 >= vlo)
+
+        @pl.when(pred_rows)
+        def _(row0=row0):
+            ysi = row0 + lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+            ys = ysi.astype(jnp.float32)
+            xo = x0blk + lax.broadcasted_iota(
+                jnp.int32, (_LANE, _LANE), 1).astype(jnp.float32)
+            ystar = solve_row_crossings_scalars(p, ys, xo, newton_iters)
+            u1, _, _ = map_uv_scalars(p, xo, ystar)
+            u1 = jnp.nan_to_num(jnp.clip(u1, -1e6, 1e6))
+            x0f = jnp.floor(u1)
+            fx = u1 - x0f
+            x0 = x0f.astype(jnp.int32)
+            m0 = (x0 >= 0) & (x0 < tile_w)
+            m1 = (x0 + 1 >= 0) & (x0 + 1 < tile_w)
+            x0c = jnp.clip(x0, 0, tile_w - 1)
+            x1c = jnp.clip(x0 + 1, 0, tile_w - 1)
+            rows_live = (ysi >= vlo) & (ysi <= vhi)
+            use0 = m0 & rows_live
+            use1 = m1 & rows_live
+            ulo = jnp.minimum(jnp.min(jnp.where(use0, x0c, tile_w - 1)),
+                              jnp.min(jnp.where(use1, x1c, tile_w - 1)))
+            uhi = jnp.maximum(jnp.max(jnp.where(use0, x0c, 0)),
+                              jnp.max(jnp.where(use1, x1c, 0)))
+            a0_ref[...] = jnp.zeros((_LANE, _LANE), jnp.int32)
+            a1_ref[...] = jnp.zeros((_LANE, _LANE), jnp.int32)
+            for ci in range(nchunk1):
+                c0 = ci * _LANE
+                pred_cols = (uhi >= c0) & (ulo < c0 + _LANE)
+
+                @pl.when(pred_cols)
+                def _(c0=c0):
+                    chunk = src[row0:row0 + _LANE, c0:c0 + _LANE]
+                    g0 = jnp.take_along_axis(
+                        chunk, jnp.clip(x0c - c0, 0, _LANE - 1), axis=1)
+                    g1 = jnp.take_along_axis(
+                        chunk, jnp.clip(x1c - c0, 0, _LANE - 1), axis=1)
+                    in0 = (x0c >= c0) & (x0c < c0 + _LANE)
+                    in1 = (x1c >= c0) & (x1c < c0 + _LANE)
+                    a0_ref[...] = jnp.where(in0, g0, a0_ref[...])
+                    a1_ref[...] = jnp.where(in1, g1, a1_ref[...])
+
+            t_ref[row0:row0 + _LANE, :] = _lerp_pass(
+                a0_ref[...], a1_ref[...], fx, m0, m1, nch=3)
+
+    # ---- pass 2: vertical resample on the transpose, v-range chunks only --
+    tt = t_ref[...].T  # [128, TH]
+    nchunk2 = tile_h // _LANE
+    for cb in range(0, out_side, _LANE):
+        ib0 = y0c[:, cb:cb + _LANE]
+        ib1 = y1c[:, cb:cb + _LANE]
+        a0_ref[...] = jnp.zeros((_LANE, _LANE), jnp.int32)
+        a1_ref[...] = jnp.zeros((_LANE, _LANE), jnp.int32)
+        for ci in range(nchunk2):
+            c0 = ci * _LANE
+            pred = (vhi >= c0) & (vlo < c0 + _LANE)
+
+            @pl.when(pred)
+            def _(c0=c0):
+                chunk = tt[:, c0:c0 + _LANE]
+                g0 = jnp.take_along_axis(
+                    chunk, jnp.clip(ib0 - c0, 0, _LANE - 1), axis=1)
+                g1 = jnp.take_along_axis(
+                    chunk, jnp.clip(ib1 - c0, 0, _LANE - 1), axis=1)
+                in0 = (ib0 >= c0) & (ib0 < c0 + _LANE)
+                in1 = (ib1 >= c0) & (ib1 < c0 + _LANE)
+                a0_ref[...] = jnp.where(in0, g0, a0_ref[...])
+                a1_ref[...] = jnp.where(in1, g1, a1_ref[...])
+
+        blk = _lerp_pass(a0_ref[...], a1_ref[...], fy[:, cb:cb + _LANE],
+                         n0[:, cb:cb + _LANE], n1[:, cb:cb + _LANE], nch=3)
+        out_ref[0, :, cb:cb + _LANE] = jnp.where(
+            front_t[:, cb:cb + _LANE], blk, 0)
+
+
 def _warp_kernel(params_ref, swap_ref, src_ref, out_ref, *scratch,
                  tile_h, tile_w, out_side, newton_iters, swap_enabled):
     """One (crop, 128-wide column block) step, fields computed IN-KERNEL.
@@ -189,10 +339,12 @@ def _warp_kernel(params_ref, swap_ref, src_ref, out_ref, *scratch,
     out_ref[0] = jnp.where(front_t, out, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("out_side", "newton_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("out_side", "newton_iters", "skip_ranges"))
 def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
                                out_side: int, source_indices=None,
-                               newton_iters: int = 3):
+                               newton_iters: int = 3,
+                               skip_ranges: bool = False):
     """Two-pass Mosaic warp: [B,TH,TW,3] uint8 -> [B,S,S,3] f32 in [0,255].
 
     Same contract as `warp.warp_images`. Requires TH, TW, S multiples of
@@ -200,7 +352,9 @@ def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
     `source_indices`, crop i samples tile source_indices[i] (frame mode).
     Square tiles get the transposed-source reroute for near +-90-deg
     rotations (`warp_twopass.choose_swap`); non-square (frame-mode pads)
-    keep the default route.
+    keep the default route. `skip_ranges` selects the range-predicated
+    kernel, which skips source rows/columns the crop never samples (see
+    `_warp_kernel_skip`; <= 1-LSB-on-rare-pixels contract).
     """
     b = h_mats.shape[0]
     nsrc, th, tw, _ = sources_u8.shape
@@ -235,6 +389,17 @@ def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
     # params/swap ride scalar prefetch: Mosaic requires VMEM blocks tiled
     # 8x128, so small per-crop scalar rows must be SMEM prefetch operands
     # (same pattern as the occluder kernel's bank indices)
+    swap_scratch = [pltpu.VMEM((th, tw), jnp.int32)] if swap_enabled else []
+    if skip_ranges:
+        kernel = _warp_kernel_skip
+        scratch_shapes = [
+            pltpu.VMEM((th, _LANE), jnp.int32),    # t (pass-1 output)
+            pltpu.VMEM((_LANE, _LANE), jnp.int32),  # tap-0 accumulator
+            pltpu.VMEM((_LANE, _LANE), jnp.int32),  # tap-1 accumulator
+        ] + swap_scratch
+    else:
+        kernel = _warp_kernel
+        scratch_shapes = swap_scratch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -245,11 +410,11 @@ def warp_images_twopass_pallas(sources_u8, h_mats, k_vecs, dists,
         ],
         out_specs=pl.BlockSpec((1, _LANE, s), lambda i, j, pp, sw: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)] if swap_enabled else [],
+        scratch_shapes=scratch_shapes,
     )
     out_t = pl.pallas_call(
         functools.partial(
-            _warp_kernel, tile_h=th, tile_w=tw, out_side=s,
+            kernel, tile_h=th, tile_w=tw, out_side=s,
             newton_iters=newton_iters, swap_enabled=swap_enabled,
         ),
         grid_spec=grid_spec,

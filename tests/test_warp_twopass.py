@@ -101,6 +101,82 @@ def test_pallas_kernel_matches_xla_twopass():
     assert np.abs(xla - pk).max() <= 1.0 + 1e-5
 
 
+def _assert_one_lsb(base, skip, max_frac=2e-4):
+    diff = np.abs(base - skip)
+    assert diff.max() <= 1.0 + 1e-5, diff.max()
+    assert (diff > 0).mean() <= max_frac, (diff > 0).mean()
+
+
+def test_skip_ranges_one_lsb():
+    """The range-skip kernel (`skip_ranges`) only ever removes work whose
+    blend weight is exactly zero, so in exact arithmetic it equals the
+    unpredicated kernel bit-for-bit. In COMPILED arithmetic the predicated
+    (lax.cond-wrapped) field math may contract mul+add chains differently
+    (FMA), flipping the post-lerp uint8 rounding by one on rare
+    boundary-straddling pixels — measured 10/147456 here, and verified to
+    collapse to 0 when the predicates are constant-folded to True. The
+    contract is therefore: <= 1 LSB, on a vanishing fraction of pixels.
+    Tiles here are 256+ wide/tall so both passes really have multiple
+    128-chunks to skip (the other kernel tests use 128^2 tiles where no
+    skipping can occur)."""
+    rng = np.random.RandomState(11)
+    side = 128
+
+    # per-crop tiles: rotation + perspective, then with distortion
+    for dist_on in (False, True):
+        b, tile = 3, 256
+        tiles = jnp.asarray(rng.randint(0, 256, (b, tile, tile, 3)), jnp.uint8)
+        h, k, d = _params(rng, b, tile, side, perspective=True, dist_on=dist_on)
+        with pltpu.force_tpu_interpret_mode():
+            base = np.asarray(warp_images_twopass_pallas(
+                tiles, h, k, d, side, skip_ranges=False))
+            skip = np.asarray(warp_images_twopass_pallas(
+                tiles, h, k, d, side, skip_ranges=True))
+        _assert_one_lsb(base, skip)
+
+    # near +-90 deg: the transposed-source reroute combined with skipping
+    b, tile = 2, 256
+    tiles = jnp.asarray(rng.randint(0, 256, (b, tile, tile, 3)), jnp.uint8)
+    hs = []
+    for ang in (np.pi / 2 - 0.01, -np.pi / 2 + 0.02):
+        c, s = np.cos(ang), np.sin(ang)
+        a = 1.1 * np.array([[c, -s], [s, c]])
+        t = np.array([tile / 2, tile / 2]) - a @ np.array([side / 2, side / 2])
+        hmat = np.eye(3)
+        hmat[:2, :2] = a
+        hmat[:2, 2] = t
+        hs.append(hmat)
+    h = jnp.asarray(np.stack(hs), jnp.float32)
+    k = jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)[None], (b, 1))
+    d = jnp.zeros((b, 5), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(warp_images_twopass_pallas(
+            tiles, h, k, d, side, skip_ranges=False))
+        skip = np.asarray(warp_images_twopass_pallas(
+            tiles, h, k, d, side, skip_ranges=True))
+    _assert_one_lsb(base, skip)
+
+    # frame mode (nsrc=1, non-square): crops in opposite corners, so the
+    # live row/column ranges differ per crop
+    b, th, tw = 2, 256, 384
+    frame = jnp.asarray(rng.randint(0, 256, (1, th, tw, 3)), jnp.uint8)
+    hs = []
+    for cx, cy in ((40.0, 30.0), (tw - 170.0, th - 160.0)):
+        hmat = np.eye(3)
+        hmat[0, 2] = cx
+        hmat[1, 2] = cy
+        hs.append(hmat)
+    h = jnp.asarray(np.stack(hs), jnp.float32)
+    k = jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)[None], (b, 1))
+    d = jnp.zeros((b, 5), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(warp_images_twopass_pallas(
+            frame, h, k, d, side, skip_ranges=False))
+        skip = np.asarray(warp_images_twopass_pallas(
+            frame, h, k, d, side, skip_ranges=True))
+    _assert_one_lsb(base, skip)
+
+
 def test_dispatcher_padding_and_frame_mode():
     rng = np.random.RandomState(3)
     b, side = 3, 128
