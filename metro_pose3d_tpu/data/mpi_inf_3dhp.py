@@ -113,10 +113,14 @@ class Mpi3dhpDataset:
                 return part
         return "unknown"
 
-    def test_univ_scale(self, i: int) -> float:
+    def test_univ_scale(self, i: int):
         """Per-example universal-skeleton scale (univ_annot3 / annot3 norm
         ratio): multiplies root-relative GT for the protocol's
-        height-normalized ("universal") variant."""
+        height-normalized ("universal") variant. Returns None when the shard
+        carries no universal annotations — the dump then OMITS the key, so
+        eval_3dhp does not emit univ-protocol numbers that would just
+        duplicate the non-universal ones (a silent 1.0 default here made a
+        legacy shard's report indistinguishable from a real univ result)."""
         if "univ_scale" in self._test:
             return float(self._test["univ_scale"][i])
-        return 1.0
+        return None

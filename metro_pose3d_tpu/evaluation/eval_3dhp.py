@@ -14,6 +14,7 @@ import numpy as np
 
 from metro_pose3d_tpu.evaluation.metrics import auc, mpjpe, pck, per_group_table, root_align
 from metro_pose3d_tpu.geom.joints import MPI3DHP_EVAL_14_INDICES
+from metro_pose3d_tpu.reference_constants import PCK_THRESHOLD_MM
 
 
 def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
@@ -52,12 +53,12 @@ def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
             # guarded mean over valid joints; examples with NO valid eval
             # joint (fully truncated crop) are excluded from the table —
             # a nanmean here would emit NaN and poison its activity row
-            correct = (np.where(v, err <= 150.0, 0.0).sum(-1)
+            correct = (np.where(v, err <= PCK_THRESHOLD_MM, 0.0).sum(-1)
                        / np.maximum(v.sum(-1), 1) * 100)
             has_valid = v.any(-1)
             correct, labels = correct[has_valid], labels[has_valid]
         else:
-            correct = (err <= 150.0).mean(-1) * 100
+            correct = (err <= PCK_THRESHOLD_MM).mean(-1) * 100
         table, _ = per_group_table(correct, labels)
         result["per_activity_pck"] = table
     return result

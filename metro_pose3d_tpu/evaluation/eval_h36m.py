@@ -32,6 +32,9 @@ def evaluate(pred_path: str) -> dict:
         example_ok = v.any(-1)
         per_joint = (np.where(v, per_example, 0.0).sum(0)
                      / np.maximum(v.sum(0), 1))
+        # a joint valid in NO example has no data: report NaN (visible),
+        # not 0.0 mm (reads as a perfect prediction)
+        per_joint = np.where(v.any(0), per_joint, np.nan)
     else:
         per_example_mean = per_example.mean(-1)
         example_ok = np.ones(len(per_example), bool)
@@ -47,8 +50,11 @@ def evaluate(pred_path: str) -> dict:
         )
         result["per_action_mpjpe"] = table
     if "joint_names" in data:
+        # None (JSON null) marks a joint with no valid data anywhere — a
+        # 0.0 would read as a perfect prediction, a NaN is invalid strict
+        # JSON on the CLI path
         result["per_joint_mpjpe"] = {
-            str(name): float(v)
+            str(name): (float(v) if np.isfinite(v) else None)
             for name, v in zip(data["joint_names"], per_joint)
         }
     if "pose3d_abs" in data and "gt3d_abs" in data:

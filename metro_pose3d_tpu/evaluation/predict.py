@@ -171,10 +171,13 @@ def predict_dataset(
         )
     if hasattr(dataset, "test_univ_scale"):
         # 3DHP universal-skeleton protocol: per-example scale that maps
-        # root-relative GT onto the height-normalized skeleton
-        result["univ_scale"] = np.array(
-            [dataset.test_univ_scale(offset + i) for i in range(n)], np.float32
-        )
+        # root-relative GT onto the height-normalized skeleton. None means
+        # the shard has no universal annotations: omit the key entirely so
+        # the eval script cannot mislabel duplicate numbers as the
+        # univ protocol.
+        scales = [dataset.test_univ_scale(offset + i) for i in range(n)]
+        if all(s is not None for s in scales):
+            result["univ_scale"] = np.array(scales, np.float32)
     result["joint_names"] = np.array(ji.names)
     result["example_offset"] = np.int64(offset)
     return result

@@ -35,6 +35,13 @@ def initialize_multihost(coordinator_address: str | None = None,
     workers = [w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w]
     if explicit is None and len(workers) < 2:
         return  # single host
+    # version-independent benign-double-init check: if the launcher already
+    # initialized the distributed client, don't call (and don't depend on
+    # matching the error message's wording, which has already changed once
+    # between jax versions — the substring fallback below stays for
+    # versions without is_initialized)
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=explicit,

@@ -24,6 +24,7 @@ from __future__ import annotations
 import concurrent.futures as _futures
 import multiprocessing
 import os
+import threading
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -107,6 +108,11 @@ def prepare_one(
 _WORKER_STATE: dict = {}
 
 
+_SPAWN_ENV_LOCK = threading.Lock()
+_SPAWN_ENV_DEPTH = 0
+_SPAWN_ENV_SAVED: dict = {}
+
+
 def _patch_spawn_env() -> Callable[[], None]:
     """Make spawned interpreters start WITHOUT the TPU runtime; returns undo.
 
@@ -118,17 +124,42 @@ def _patch_spawn_env() -> Callable[[], None]:
     parent env for the pool's lifetime (spawn children inherit env at
     process creation; workers can spawn lazily at any submit). The parent's
     own already-imported jax is unaffected by env changes.
+
+    The patch is REFCOUNTED on module globals: concurrent iterators (mixed
+    3D+2D training holds two process pools, a mid-run eval may add a third)
+    would otherwise each save/restore a snapshot, and an interleaved or
+    GC-ordered undo could re-expose the TPU trigger to a pool that is still
+    alive, or leave the parent pinned to cpu after all pools are gone. Only
+    the FIRST patch saves the true originals; only the LAST undo restores
+    them. Each returned undo is idempotent.
     """
-    saved = {k: os.environ.get(k) for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    global _SPAWN_ENV_DEPTH
+    with _SPAWN_ENV_LOCK:
+        if _SPAWN_ENV_DEPTH == 0:
+            _SPAWN_ENV_SAVED.clear()
+            _SPAWN_ENV_SAVED.update({
+                k: os.environ.get(k)
+                for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+            })
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        _SPAWN_ENV_DEPTH += 1
+
+    done = [False]
 
     def undo():
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+        global _SPAWN_ENV_DEPTH
+        with _SPAWN_ENV_LOCK:
+            if done[0]:
+                return
+            done[0] = True
+            _SPAWN_ENV_DEPTH -= 1
+            if _SPAWN_ENV_DEPTH == 0:
+                for k, v in _SPAWN_ENV_SAVED.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
 
     return undo
 

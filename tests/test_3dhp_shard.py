@@ -100,6 +100,23 @@ class TestProtocolRehearsal:
         # GT rescale changes the numbers (scales != 1)
         assert scores["mpjpe_univ"] != pytest.approx(scores["mpjpe"], rel=1e-6)
 
+    def test_legacy_shard_without_univ_scale_omits_univ_metrics(self, protocol):
+        """A shard prepared without universal annotations must NOT produce
+        univ-protocol numbers: a silent 1.0 default made the report emit
+        pck_150_univ/auc_univ rows that exactly duplicated the non-universal
+        ones — indistinguishable from a real univ result."""
+        _, _, ds = protocol
+        legacy = dict(ds._test)
+        legacy.pop("univ_scale")
+        ds2 = object.__new__(type(ds))
+        ds2.root = ds.root
+        ds2._train = ds._train
+        ds2._test = legacy
+        assert ds2.test_univ_scale(0) is None
+        # the dump-side guard: any None scale suppresses the key entirely
+        scales = [ds2.test_univ_scale(i) for i in range(3)]
+        assert not all(s is not None for s in scales)
+
     def test_structural_sanity(self, protocol):
         scores, result, _ = protocol
         assert result["pose3d_rootrel"].shape == (10, 17, 3)

@@ -361,3 +361,27 @@ class TestAllInvalidExampleGuard:
         res = self._dump(tmp_path, evaluate)
         assert np.isfinite(list(res["per_activity_pck"].values())).all()
         assert np.isfinite(res["pck_150"]) and np.isfinite(res["auc"])
+
+    def test_never_valid_joint_reports_nan_not_zero(self, tmp_path):
+        """A joint invalid in EVERY example has no data: its per-joint row
+        must be NaN (visibly absent), not 0.0 mm (reads as a perfect
+        prediction)."""
+        from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+
+        rng = np.random.default_rng(1)
+        n, j = 6, 17
+        gt = rng.normal(0, 200, (n, j, 3)).astype(np.float32)
+        pred = gt + rng.normal(0, 10, (n, j, 3)).astype(np.float32)
+        valid = np.ones((n, j), bool)
+        valid[:, 5] = False  # never-valid joint
+        path = tmp_path / "p.npz"
+        np.savez(path, pose3d_rootrel=pred, gt3d_rootrel=gt, valid=valid,
+                 joint_names=np.array([f"j{i}" for i in range(j)]))
+        res = evaluate(str(path))
+        per_joint = res["per_joint_mpjpe"]
+        assert per_joint["j5"] is None  # JSON null: no data, not "0.0 mm"
+        # all other joints finite; nonzero except the root (j0), whose
+        # root-aligned error is identically 0
+        others = [v for k, v in per_joint.items() if k not in ("j5", "j0")]
+        assert np.isfinite(others).all() and min(others) > 0.0
+        assert per_joint["j0"] == 0.0

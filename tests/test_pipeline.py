@@ -186,6 +186,34 @@ class TestProcessPoolLoader:
                 proc_side=64, tile_side=128, pool_type="greenlet",
             ))
 
+    def test_spawn_env_patch_is_refcounted(self, monkeypatch):
+        """Concurrent iterators (mixed 3D+2D training holds two process
+        pools) patch the SAME process-wide env vars. Only the first patch
+        may save the originals and only the last undo may restore them —
+        an interleaved or double undo must neither re-expose the TPU
+        trigger to a still-live pool nor leave the parent pinned to cpu."""
+        import os
+
+        from metro_pose3d_tpu.pipeline.loader import _patch_spawn_env
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+        monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+
+        undo_a = _patch_spawn_env()
+        assert "PALLAS_AXON_POOL_IPS" not in os.environ
+        assert os.environ["JAX_PLATFORMS"] == "cpu"
+        undo_b = _patch_spawn_env()  # second iterator: sees patched env
+
+        undo_a()  # first iterator dies while the second still runs
+        assert "PALLAS_AXON_POOL_IPS" not in os.environ
+        assert os.environ["JAX_PLATFORMS"] == "cpu"
+        undo_a()  # idempotent: must not decrement twice
+        assert os.environ["JAX_PLATFORMS"] == "cpu"
+
+        undo_b()  # last one out restores the TRUE originals
+        assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+        assert os.environ["JAX_PLATFORMS"] == "tpu"
+
 
 class TestBatchIterator:
     def test_iterates_and_pads(self):

@@ -178,3 +178,14 @@ class TestDistributedHelpers:
 
         monkeypatch.setattr(jax.distributed, "initialize", already)
         distributed.initialize_multihost()  # benign: no raise
+
+        # version-independent path: when is_initialized() reports True, the
+        # client must not be touched at all (no dependence on the
+        # double-init error message's wording)
+        def never(**kwargs):
+            raise AssertionError("initialize must not be called")
+
+        monkeypatch.setattr(jax.distributed, "initialize", never)
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True,
+                            raising=False)
+        distributed.initialize_multihost()  # no raise, no call
