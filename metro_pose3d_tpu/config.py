@@ -118,6 +118,13 @@ class DataConfig:
     # the 5k crops/s target)
     pool_type: str = "thread"
     test_box_expansion: float = C.TEST_BOX_EXPANSION
+    # augmentation asset roots (reference: VOC2012 occluder cutouts, INRIA-
+    # style background images for 3DHP green-screen replacement). Empty ->
+    # procedural fallback banks, so training runs without the downloads.
+    # These are the CLI spellings of train()'s occluder_root/background_root
+    # arguments; an explicit argument wins over the config field.
+    occluder_root: str = ""
+    background_root: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,6 +24,21 @@ from metro_pose3d_tpu.pipeline.loader import batch_iterator
 log = logging.getLogger("metro_tpu.predict")
 
 
+def _check_joint_count(cfg: Config, joint_info) -> None:
+    """Fail loud (and early) when the model head and the dataset skeleton
+    disagree — e.g. the default 17-joint model on 3DPW's SMPL-24 GT. Without
+    this the mismatch surfaces as an opaque broadcast error deep inside the
+    flip-TTA average (found by the config-5 chip CLI rehearsal)."""
+    n_ds = len(joint_info.names)
+    if cfg.model.num_joints != n_ds:
+        raise ValueError(
+            f"model.num_joints={cfg.model.num_joints} but the dataset's "
+            f"skeleton has {n_ds} joints ({joint_info.names[:3]}...). Pass "
+            f"--model.num_joints={n_ds} (and a checkpoint trained on that "
+            "skeleton) or evaluate on a matching dataset."
+        )
+
+
 def _offset_test_example(dataset, offset: int, i: int):
     """Module-level (picklable) accessor: process-pool loaders ship this
     with the dataset instead of an unpicklable closure."""
@@ -100,6 +115,7 @@ def predict_dataset(
 
     apply_matmul_precision(cfg)
     ji = dataset.joint_info
+    _check_joint_count(cfg, ji)
     root = ji.names.index(dataset.root_joint)
     if jax.process_count() > 1:
         # same local-mesh override as make_dataset_predict_fn, so the batch
@@ -201,6 +217,7 @@ def predict_multiperson_dataset(
 
     apply_matmul_precision(cfg)
     ji = dataset.joint_info
+    _check_joint_count(cfg, ji)
     root = ji.names.index(dataset.root_joint)
     est = MultiPersonEstimator(
         cfg, variables, ji, root_name=dataset.root_joint,

@@ -118,6 +118,10 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     from metro_pose3d_tpu.config import apply_matmul_precision
 
     apply_matmul_precision(cfg)
+    # CLI spelling of the augmentation asset roots (--data.occluder_root /
+    # --data.background_root); an explicit argument wins
+    occluder_root = occluder_root or (cfg.data.occluder_root or None)
+    background_root = background_root or (cfg.data.background_root or None)
     os.makedirs(cfg.train.logdir, exist_ok=True)
     with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
         f.write(config_to_json(cfg))

@@ -213,6 +213,32 @@ class TestTdpwParser:
         assert ds.joint_info is SMPL_24
 
 
+class TestJointCountGuard:
+    def test_model_dataset_skeleton_mismatch_fails_loud(self):
+        """Found by the config-5 chip CLI rehearsal: the default 17-joint
+        model on 3DPW's SMPL-24 skeleton crashed with an opaque broadcast
+        error deep inside the flip-TTA average. Both predict entry points
+        must reject the mismatch up front with an actionable message."""
+        import pytest
+
+        from metro_pose3d_tpu.config import Config
+        from metro_pose3d_tpu.evaluation.predict import (
+            predict_dataset, predict_multiperson_dataset,
+        )
+
+        class _Ds:
+            joint_info = SMPL_24
+            root_joint = "pelv"
+            n_test = 4
+            n_test_frames = 1
+
+        cfg = Config()  # model.num_joints=17 vs SMPL-24
+        with pytest.raises(ValueError, match="num_joints=24"):
+            predict_multiperson_dataset(cfg, None, _Ds())
+        with pytest.raises(ValueError, match="num_joints=24"):
+            predict_dataset(cfg, None, _Ds())
+
+
 class TestEval3dpw:
     def test_scorer(self, tmp_path):
         from metro_pose3d_tpu.evaluation.eval_3dpw import evaluate_3dpw

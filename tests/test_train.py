@@ -81,6 +81,36 @@ class TestTrainerRun:
         state2 = train(cfg2, ds, mesh=mesh, max_steps=6)
         assert int(state2.step) == 6
 
+    def test_asset_roots_flow_from_config(self, tmp_path, monkeypatch):
+        """--data.occluder_root/--data.background_root must reach the bank
+        builders: they were train() arguments only, so the CLI could never
+        enable VOC occluders or a real background bank."""
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+        from metro_pose3d_tpu.train import trainer
+
+        seen = {}
+        real = trainer.get_occluder_bank
+
+        def spy(root, tile_side=96):
+            seen["occluder_root"] = root
+            return real(None, tile_side=tile_side)  # procedural fallback
+
+        monkeypatch.setattr(trainer, "get_occluder_bank", spy)
+        cfg = apply_overrides(Config(), {
+            **TINY,
+            "train.logdir": str(tmp_path / "run"),
+            "data.occluder_root": "/nonexistent/voc",
+        })
+        ds = SyntheticDataset(n_train=8, n_test=4, imshape=(256, 256))
+        train_state = trainer.train(cfg, ds, mesh=make_mesh(4), max_steps=1)
+        assert int(train_state.step) == 1
+        assert seen["occluder_root"] == "/nonexistent/voc"
+        # explicit argument wins over the config field
+        trainer.train(cfg, ds, mesh=make_mesh(4), max_steps=1,
+                      occluder_root="/arg/wins")
+        assert seen["occluder_root"] == "/arg/wins"
+
     def test_mixed_2d3d_batches(self, tmp_path):
         from metro_pose3d_tpu.data.synthetic import SyntheticDataset
         from metro_pose3d_tpu.train.trainer import mixed_batch_iterator
