@@ -226,15 +226,25 @@ def predict_multiperson_dataset(
     )
     n = dataset.n_test_frames if n_frames is None else min(n_frames, dataset.n_test_frames)
     rows = {"pose3d": [], "pose3d_abs": [], "gt3d": [], "gt3d_abs": [], "seq": []}
-    for i in range(n):
-        image, boxes, cam, world, seq = dataset.test_frame(i)
-        out = est.estimate_frame(image, boxes, cam)
+    meta: list = []
+
+    def gen_frames():
+        for i in range(n):
+            image, boxes, cam, world, seq = dataset.test_frame(i)
+            meta.append((cam, world, seq, len(boxes)))
+            yield image, boxes, cam
+
+    # pipelined (estimate_stream): the generator runs ahead of the yielded
+    # results by the pipeline depth, so frame i+1 ships/dispatches while
+    # frame i syncs; meta[i] is always populated before result i arrives
+    for i, out in enumerate(est.estimate_stream(gen_frames())):
+        cam, world, seq, n_boxes = meta[i]
         gt_abs = np.stack([cam.world_to_camera(w) for w in world])
         rows["pose3d"].append(out["pose3d_rootrel"])
         rows["pose3d_abs"].append(out["pose3d_abs"])
         rows["gt3d"].append(gt_abs - gt_abs[:, root : root + 1])
         rows["gt3d_abs"].append(gt_abs)
-        rows["seq"].extend([seq] * len(boxes))
+        rows["seq"].extend([seq] * n_boxes)
     return {
         "pose3d": np.concatenate(rows["pose3d"]),
         "pose3d_abs": np.concatenate(rows["pose3d_abs"]),

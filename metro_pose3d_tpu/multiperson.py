@@ -154,30 +154,12 @@ class MultiPersonEstimator:
                 return b
         return self.buckets[-1]
 
-    def estimate_frame(self, image: np.ndarray, boxes, camera: Camera | None = None):
-        """boxes: [N, 4] (x, y, w, h) detector boxes. camera defaults to a
-        60-degree-FoV pinhole at the image center (the standard guess when
-        intrinsics are unknown). Returns dict of [N, ...] numpy arrays;
-        `pose2d_px` is in FULL-IMAGE pixels of the input camera.
-        """
-        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
-        if camera is None:
-            camera = Camera.from_fov(60.0, image.shape[:2])
+    def _dispatch(self, image: np.ndarray, boxes: np.ndarray, camera: Camera):
+        """Host prep + H2D + predict dispatch for one frame (0 < N <= max
+        bucket). Returns the un-synced device output plus the host context
+        `_collect` needs — splitting here is what lets `estimate_stream`
+        overlap frame i+1's transfer/compute with frame i's output sync."""
         n = len(boxes)
-        if n == 0:
-            j = self.joint_info.n_joints
-            return {
-                "pose3d_abs": np.zeros((0, j, 3), np.float32),
-                "pose3d_rootrel": np.zeros((0, j, 3), np.float32),
-                "pose2d_px": np.zeros((0, j, 2), np.float32),
-            }
-        if n > self.buckets[-1]:  # process in chunks, then concatenate
-            parts = [
-                self.estimate_frame(image, boxes[s : s + self.buckets[-1]], camera)
-                for s in range(0, n, self.buckets[-1])
-            ]
-            return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-
         if self.frame_mode:
             from metro_pose3d_tpu.pipeline.crops import prepare_inference_crop_params
 
@@ -206,8 +188,12 @@ class MultiPersonEstimator:
         if self.frame_mode:
             frame = np.ascontiguousarray(image[:, : image.shape[1] // 2 * 2])
             batch["frame"] = jnp.asarray(frame)
-        out = jax.tree.map(lambda t: np.asarray(t[:n]), self._predict(self.variables, batch))
+        out = self._predict(self.variables, batch)
+        return out, n, crop_cams, camera
 
+    def _collect(self, out, n, crop_cams, camera):
+        """Sync one dispatched frame's outputs and finish the host work."""
+        out = jax.tree.map(lambda t: np.asarray(t[:n]), out)
         # 2D joints back in full-image pixels (through each crop homography)
         pose2d_px = np.stack(
             [
@@ -221,6 +207,60 @@ class MultiPersonEstimator:
             "pose2d_px": pose2d_px,
         }
 
+    def estimate_frame(self, image: np.ndarray, boxes, camera: Camera | None = None):
+        """boxes: [N, 4] (x, y, w, h) detector boxes. camera defaults to a
+        60-degree-FoV pinhole at the image center (the standard guess when
+        intrinsics are unknown). Returns dict of [N, ...] numpy arrays;
+        `pose2d_px` is in FULL-IMAGE pixels of the input camera.
+        """
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+        if camera is None:
+            camera = Camera.from_fov(60.0, image.shape[:2])
+        n = len(boxes)
+        if n == 0:
+            j = self.joint_info.n_joints
+            return {
+                "pose3d_abs": np.zeros((0, j, 3), np.float32),
+                "pose3d_rootrel": np.zeros((0, j, 3), np.float32),
+                "pose2d_px": np.zeros((0, j, 2), np.float32),
+            }
+        if n > self.buckets[-1]:  # process in chunks, then concatenate
+            parts = [
+                self.estimate_frame(image, boxes[s : s + self.buckets[-1]], camera)
+                for s in range(0, n, self.buckets[-1])
+            ]
+            return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        return self._collect(*self._dispatch(image, boxes, camera))
+
+    def estimate_stream(self, frames, depth: int = 2):
+        """Pipelined per-frame estimation for video/streams: yields the same
+        results as `estimate_frame` per (image, boxes, camera) tuple, in
+        order, but keeps up to `depth` frames in flight — frame i+1's host
+        prep, H2D ship, and predict dispatch overlap frame i's device
+        compute and output sync. With the synchronous loop most of the
+        per-frame wall time is dispatch/transfer latency, not compute
+        (scripts/exp_multiperson_breakdown.py).
+
+        Frames with no boxes or more boxes than the largest bucket flush the
+        pipeline and run synchronously (they need chunking/empty handling).
+        """
+        pending: list = []
+        for image, boxes, camera in frames:
+            boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+            if camera is None:
+                camera = Camera.from_fov(60.0, image.shape[:2])
+            if len(boxes) == 0 or len(boxes) > self.buckets[-1]:
+                while pending:
+                    yield self._collect(*pending.pop(0))
+                yield self.estimate_frame(image, boxes, camera)
+                continue
+            pending.append(self._dispatch(image, boxes, camera))
+            if len(pending) >= max(depth, 1):
+                yield self._collect(*pending.pop(0))
+        while pending:
+            yield self._collect(*pending.pop(0))
+
     def estimate_batch(self, frames):
-        """Convenience: list of (image, boxes, camera) -> list of results."""
-        return [self.estimate_frame(*f) for f in frames]
+        """Convenience: list of (image, boxes, camera) -> list of results
+        (pipelined; identical outputs to calling estimate_frame per item)."""
+        return list(self.estimate_stream(iter(frames)))

@@ -39,7 +39,7 @@ def main():
     frames = []
     for i in range(10):
         image, boxes, cam, _ = make_multiperson_frame(
-            n_people=16, imshape=(720, 1280), seed=i)
+            n_persons=16, imshape=(720, 1280), seed=i)
         frames.append((image, boxes, cam))
 
     # warm up every piece (compile)
@@ -103,40 +103,15 @@ def main():
     print(f"predict + D2H sync:        {(time.perf_counter()-t0)/20*1e3:8.2f} ms",
           flush=True)
 
-    # ---- pipelined: dispatch-ahead over the frame list ----------------------
-    # ship + dispatch frame i+1 before syncing frame i
-    def pipelined(frames):
-        pending = []
-        results = []
-        for (image, boxes, cam) in frames:
-            boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
-            prepared = [
-                prepare_inference_crop_params(
-                    b, cam, cfg.model.proc_side, cfg.data.test_box_expansion)
-                for b in boxes
-            ]
-            crop_cams = [p.pop("_crop_cam") for p in prepared]
-            nn = len(prepared)
-            prepared = prepared + [prepared[-1]] * (est._bucket(nn) - nn)
-            batch = {k: jnp.asarray(np.stack([p[k] for p in prepared]))
-                     for k in prepared[0]}
-            fr = np.ascontiguousarray(image[:, : image.shape[1] // 2 * 2])
-            batch["frame"] = jax.device_put(fr)
-            out = est._predict(est.variables, batch)
-            pending.append((out, nn))
-            if len(pending) > 1:
-                o, m = pending.pop(0)
-                results.append(jax.tree.map(lambda t, m=m: np.asarray(t[:m]), o))
-        for o, m in pending:
-            results.append(jax.tree.map(lambda t, m=m: np.asarray(t[:m]), o))
-        return results
-
-    pipelined(frames)  # warm
-    t0 = time.perf_counter()
-    pipelined(frames)
-    pipe_ms = (time.perf_counter() - t0) / len(frames) * 1e3
-    print(f"pipelined (depth 2):       {pipe_ms:8.2f} ms/frame "
-          f"({1000/pipe_ms*16:.0f} people/s)", flush=True)
+    # ---- pipelined product API (estimate_stream) ----------------------------
+    for depth in (2, 3):
+        list(est.estimate_stream(iter(frames), depth=depth))  # warm
+        t0 = time.perf_counter()
+        outs = list(est.estimate_stream(iter(frames), depth=depth))
+        pipe_ms = (time.perf_counter() - t0) / len(frames) * 1e3
+        assert len(outs) == len(frames)
+        print(f"estimate_stream depth={depth}:  {pipe_ms:8.2f} ms/frame "
+              f"({1000/pipe_ms*16:.0f} people/s)", flush=True)
 
 
 if __name__ == "__main__":

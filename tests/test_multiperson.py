@@ -103,6 +103,29 @@ class TestEstimator:
             out["pose3d_abs"][:3], out["pose3d_abs"][3:6], atol=0.05
         )
 
+    def test_estimate_stream_equals_per_frame(self, estimator):
+        """The pipelined stream must yield EXACTLY what per-frame calls
+        produce, in order — including the flush paths for empty-box frames
+        and frames that exceed the largest bucket."""
+        frames = []
+        for seed in (11, 12, 13, 14):
+            image, boxes, cam, _ = make_multiperson_frame(3, seed=seed)
+            frames.append((image, boxes, cam))
+        # edge frames: no boxes, and more boxes than the max bucket (8)
+        img0 = frames[0][0]
+        frames.insert(2, (img0, np.zeros((0, 4)), frames[0][2]))
+        many = np.concatenate([frames[1][1]] * 4)  # 12 > 8
+        frames.append((frames[1][0], many, frames[1][2]))
+
+        ref = [estimator.estimate_frame(*f) for f in frames]
+        for depth in (1, 2, 3):
+            got = list(estimator.estimate_stream(iter(frames), depth=depth))
+            assert len(got) == len(ref)
+            for r, g in zip(ref, got):
+                assert r.keys() == g.keys()
+                for k in r:
+                    np.testing.assert_array_equal(r[k], g[k], err_msg=k)
+
     def test_absolute_poses_in_shared_frame(self, estimator):
         """People placed left/right of the camera axis must decode to
         absolute positions on those sides (sign of x in the shared frame):
