@@ -26,10 +26,13 @@ import numpy as np
 TARGET = 5000.0  # crops/sec/chip, BASELINE.json north-star
 
 
-def main(batch_size: int = 512, iters: int = 20, flip_tta: bool = False,
+def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
          quantize: str = "none", quantize_fused: bool = True):
-    # measured sweep on the v5e (2026-08-16): bs256 6.6-6.7k, bs512 6.78k,
-    # bs1024 6.78k crops/s; 512 balances throughput vs p50 latency (103 ms)
+    # measured sweeps on the v5e: round-1 (2026-08-16) bs256-1024 was flat;
+    # round-3 re-sweep (2026-08-18, same session): bs128 7,731 / bs256
+    # 7,347 / bs512 7,475 crops/s bf16 — and int8 prefers bs128 strongly
+    # (10,052 vs 8,414 at bs512). 128 now wins BOTH throughput and p50
+    # (38.6 vs 92.2 ms); see BASELINE.md round-3 batch-size revisit.
     import dataclasses
 
     from metro_pose3d_tpu.config import Config
@@ -113,7 +116,7 @@ if __name__ == "__main__":
     import sys
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
-    bs = int(pos[0]) if pos else 512
+    bs = int(pos[0]) if pos else 128
     main(
         batch_size=bs,
         flip_tta="--flip-tta" in sys.argv,
