@@ -90,15 +90,18 @@ def main():
         tile, side = cfg.data.source_side, cfg.model.proc_side
 
         if what in ("all", "tile"):
-            bs = 256
+            bss = (tuple(int(x) for x in sys.argv[3].split(","))
+                   if len(sys.argv) > 3 else (256,))
             model = MetroModel(cfg.model)
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, side, side, 3)), train=False)
-            batch = make_batch(bs, tile, side, j, rng, None)
             fn = make_predict_fn(cfg, H36M_17.mirror_mapping, 0, flip_tta=False,
                                  reconstruct=True, from_tiles=True)
-            dt = timeit(fn, variables, batch)
-            print(f"[{sampler}] tile->skeleton bs{bs}: {dt*1e3:7.1f} ms  {bs/dt:7.0f} crops/s")
+            for bs in bss:
+                batch = make_batch(bs, tile, side, j, rng, None)
+                dt = timeit(fn, variables, batch)
+                print(f"[{sampler}] tile->skeleton bs{bs}: {dt*1e3:7.1f} ms  "
+                      f"{bs/dt:7.0f} crops/s", flush=True)
 
         if what in ("all", "train"):
             from metro_pose3d_tpu.train.loop import make_optimizer, make_train_step
