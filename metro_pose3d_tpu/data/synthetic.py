@@ -138,6 +138,66 @@ def make_multiperson_frame(n_persons: int, seed: int = 0, imshape=(512, 910)):
     return img, np.asarray(boxes, np.float64), cam, np.stack(worlds)
 
 
+def make_multiperson_sequence(n_persons: int, n_frames: int, seed: int = 0,
+                              imshape=(512, 910)):
+    """Smoothly-moving synthetic video: yields (image, boxes, Camera, world)
+    per frame. People walk sinusoidal tracks in x/depth while their pose
+    interpolates between two random poses — drives the pipelined
+    `MultiPersonEstimator.estimate_stream` demo/test without video assets.
+    Background and camera are fixed across frames (like a static camera)."""
+    import cv2
+
+    rng = np.random.default_rng((seed, 778))
+    h, w = imshape
+    cam = Camera.from_fov(65.0, imshape)
+    bg = np.zeros((h, w, 3), np.uint8)
+    bg[:] = rng.integers(10, 70, 3).astype(np.uint8)
+    for _ in range(16):
+        p1 = rng.integers(0, (w, h)).astype(int)
+        p2 = rng.integers(0, (w, h)).astype(int)
+        cv2.line(bg, tuple(p1), tuple(p2),
+                 tuple(int(v) for v in rng.integers(0, 110, 3)),
+                 int(rng.integers(1, 6)))
+
+    colors = _joint_colors(len(_BASE_POSE))
+    tracks = []
+    for p in range(n_persons):
+        depth0 = rng.uniform(3500, 6000)
+        x0 = (p - (n_persons - 1) / 2) * depth0 * 0.45 / max(n_persons / 3, 1)
+        tracks.append({
+            "x0": x0, "depth0": depth0,
+            "amp_x": rng.uniform(200, 600), "amp_z": rng.uniform(150, 500),
+            "phase": rng.uniform(0, 2 * np.pi),
+            "period": rng.uniform(0.6, 1.4) * max(n_frames, 2),
+            "pose_a": random_pose(rng), "pose_b": random_pose(rng),
+            "y_frac": rng.uniform(-0.05, 0.1),
+        })
+
+    for f in range(n_frames):
+        img = bg.copy()
+        worlds, boxes = [], []
+        for tr in tracks:
+            t = 2 * np.pi * f / tr["period"] + tr["phase"]
+            root = np.array([
+                tr["x0"] + tr["amp_x"] * np.sin(t),
+                tr["y_frac"] * tr["depth0"],
+                tr["depth0"] + tr["amp_z"] * np.cos(t),
+            ])
+            # smooth pose morph a -> b -> a over the sequence
+            alpha = 0.5 - 0.5 * np.cos(2 * np.pi * f / max(n_frames, 2))
+            world = (1 - alpha) * tr["pose_a"] + alpha * tr["pose_b"] + root
+            px = cam.world_to_image(world)
+            radius = max(2, int(180 / root[2] * cam.K[0, 0] / 55))
+            for pt, c in zip(px, colors):
+                if np.all(np.isfinite(pt)):
+                    cv2.circle(img, (int(round(pt[0])), int(round(pt[1]))),
+                               radius, tuple(int(v) for v in c), -1)
+            lo, hi = px.min(0) - 50, px.max(0) + 50
+            boxes.append([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+            worlds.append(world)
+        yield img, np.asarray(boxes, np.float64), cam, np.stack(worlds)
+
+
 class SyntheticDataset:
     joint_info: JointInfo = H36M_17
     root_joint = "pelv"

@@ -9,6 +9,7 @@ overlay and a 3D view.
     python -m metro_pose3d_tpu.demo --image=frame.jpg \
         --boxes="100,50,200,400;350,60,180,390" \
         --bundle=/path/exported --out=/tmp/demo.png
+    python -m metro_pose3d_tpu.demo --video=60 --out=/tmp/demo.mp4     # stream
 """
 from __future__ import annotations
 
@@ -58,6 +59,51 @@ def draw_demo(image, results, joint_info, out_path: str):
     return out_path
 
 
+def draw_overlay_cv(image, results, joint_info):
+    """Fast per-frame 2D overlay (video mode): skeleton edges + joints."""
+    import cv2
+
+    img = np.ascontiguousarray(image.copy())
+    palette = [(66, 133, 244), (219, 68, 55), (244, 180, 0), (15, 157, 88),
+               (171, 71, 188), (0, 172, 193)]
+    for p, pose2d in enumerate(results["pose2d_px"]):
+        c = palette[p % len(palette)]
+        for a, b in joint_info.edges:
+            pa, pb = pose2d[a], pose2d[b]
+            if np.all(np.isfinite(pa)) and np.all(np.isfinite(pb)):
+                cv2.line(img, (int(pa[0]), int(pa[1])), (int(pb[0]), int(pb[1])),
+                         c, 2, cv2.LINE_AA)
+        for pt in pose2d:
+            if np.all(np.isfinite(pt)):
+                cv2.circle(img, (int(pt[0]), int(pt[1])), 3, c, -1, cv2.LINE_AA)
+    return img
+
+
+def run_video(est, joint_info, n_frames: int, out_path: str):
+    """Synthetic moving-people sequence -> pipelined estimate_stream ->
+    overlay video (mp4 via cv2; falls back to an .npz of overlay frames)."""
+    import cv2
+
+    from metro_pose3d_tpu.data.synthetic import make_multiperson_sequence
+
+    seq = list(make_multiperson_sequence(3, n_frames, seed=0))
+    frames = [(img, boxes, cam) for img, boxes, cam, _ in seq]
+    overlays = []
+    for (img, boxes, cam), out in zip(frames, est.estimate_stream(iter(frames))):
+        overlays.append(draw_overlay_cv(img, out, joint_info))
+    h, w = overlays[0].shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    if not writer.isOpened():
+        alt = out_path + ".npz"
+        np.savez_compressed(alt, frames=np.stack(overlays))
+        print(f"VideoWriter unavailable; wrote frames to {alt}")
+        return alt
+    for fr in overlays:
+        writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    writer.release()
+    return out_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--image", default="", help="input image (default: synthetic)")
@@ -66,6 +112,9 @@ def main(argv=None):
     ap.add_argument("--bundle", default="", help="exported model dir")
     ap.add_argument("--logdir", default="", help="training logdir (checkpoint)")
     ap.add_argument("--out", default="/tmp/metro_demo.png")
+    ap.add_argument("--video", type=int, default=0, metavar="N",
+                    help="render an N-frame synthetic sequence through the "
+                         "pipelined estimate_stream into --out (mp4)")
     args = ap.parse_args(argv)
 
     import jax
@@ -109,6 +158,13 @@ def main(argv=None):
         else:
             print("warning: random-init model (pass --bundle or --logdir)")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.video:
+        est = MultiPersonEstimator(cfg, variables, joint_info)
+        out = args.out if args.out.endswith(".mp4") else args.out + ".mp4"
+        path = run_video(est, joint_info, args.video, out)
+        print(f"wrote {path} ({args.video} frames)")
+        return 0
 
     if args.image:
         from metro_pose3d_tpu.utils import improc

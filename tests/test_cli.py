@@ -67,6 +67,27 @@ def test_test_mode_int8_calibrates(tmp_path):
     assert np.isfinite(data["pose3d_rootrel"]).all()
 
 
+def test_multiperson_int8_end_to_end(tmp_path):
+    """--test-multiperson with model.quantize=int8: calibration must work
+    off the 3DPW dataset's crop API (test_example) and the quantized graph
+    must compose with frame-mode warp + TTA + LSQ + the eval scorer."""
+    from metro_pose3d_tpu.data.synth_shard import write_synthetic_3dpw_release
+
+    write_synthetic_3dpw_release(str(tmp_path))
+    pred = tmp_path / "p_int8.npz"
+    rc = main([
+        "--test-multiperson", "--data.dataset=3dpw",
+        f"--data.data_root={tmp_path}", f"--eval.pred_path={pred}",
+        f"--train.logdir={tmp_path}/log", "--model.num_joints=24",
+        "--model.backbone=tiny", "--model.proc_side=128", "--model.depth=4",
+        "--model.quantize=int8",
+    ])
+    assert rc == 0
+    data = np.load(pred, allow_pickle=True)
+    assert np.isfinite(data["pose3d_abs"]).all()
+    assert main(["--eval-3dpw", f"--eval.pred_path={pred}"]) == 0
+
+
 def test_export_int8_calibrates_and_bundles(tmp_path):
     """--export with model.quantize=int8: calibrate on the dataset's eval
     crops, ship the quant scales in the bundle, reload and predict."""

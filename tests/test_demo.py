@@ -25,6 +25,31 @@ def test_demo_renders_png(tmp_path, monkeypatch):
     assert out.exists() and out.stat().st_size > 10_000
 
 
+def test_demo_video_mode(tmp_path, monkeypatch):
+    """--video=N: synthetic moving-people sequence through the pipelined
+    estimate_stream into an mp4 (or frame npz where no codec exists)."""
+    import os
+
+    import metro_pose3d_tpu.config as config_mod
+    from metro_pose3d_tpu.config import apply_overrides
+
+    real_config = config_mod.Config
+    tiny = apply_overrides(real_config(), {
+        "model.backbone": "tiny", "model.proc_side": "64", "model.depth": "4",
+        "model.compute_dtype": "float32", "data.source_side": "128",
+    })
+    monkeypatch.setattr(config_mod, "Config", lambda: tiny)
+
+    from metro_pose3d_tpu.demo import main
+
+    out = tmp_path / "demo.mp4"
+    rc = main(["--video", "4", "--out", str(out)])
+    assert rc == 0
+    wrote = [p for p in os.listdir(tmp_path) if p.startswith("demo.mp4")]
+    assert wrote, os.listdir(tmp_path)
+    assert (tmp_path / wrote[0]).stat().st_size > 5_000
+
+
 def test_demo_requires_boxes_with_image(tmp_path):
     import cv2
 
