@@ -97,18 +97,11 @@ def make_example(index: int, seed: int = 0, imshape=(512, 512)) -> Example:
     return Example(image=img, bbox=bbox, camera=cam, world_coords=world)
 
 
-def make_multiperson_frame(n_persons: int, seed: int = 0, imshape=(512, 910)):
-    """One synthetic frame with several people under a single camera.
-
-    -> (image uint8 RGB, boxes [P,4], Camera, world [P,17,3] mm). Drives the
-    multi-person estimator tests/bench (BASELINE config 5) without licensed
-    detector or dataset assets.
-    """
+def _make_frame_background(rng: np.random.Generator, imshape) -> np.ndarray:
+    """Shared multi-person frame background: dark fill + random clutter."""
     import cv2
 
-    rng = np.random.default_rng((seed, 777))
     h, w = imshape
-    cam = Camera.from_fov(65.0, imshape)
     img = np.zeros((h, w, 3), np.uint8)
     img[:] = rng.integers(10, 70, 3).astype(np.uint8)
     for _ in range(16):
@@ -117,6 +110,38 @@ def make_multiperson_frame(n_persons: int, seed: int = 0, imshape=(512, 910)):
         cv2.line(img, tuple(p1), tuple(p2),
                  tuple(int(v) for v in rng.integers(0, 110, 3)),
                  int(rng.integers(1, 6)))
+    return img
+
+
+def _render_person(img, cam: Camera, world: np.ndarray, colors) -> list:
+    """Draw one person's joints into `img`; returns their [x, y, w, h] box.
+
+    Single source of truth for the circle radius formula and the 50 px
+    detector-box margin — both the static frame and the video sequence
+    generators depend on these staying identical."""
+    import cv2
+
+    px = cam.world_to_image(world)
+    depth = float(world[:, 2].mean())
+    radius = max(2, int(180 / depth * cam.K[0, 0] / 55))
+    for pt, c in zip(px, colors):
+        if np.all(np.isfinite(pt)):
+            cv2.circle(img, (int(round(pt[0])), int(round(pt[1]))), radius,
+                       tuple(int(v) for v in c), -1)
+    lo, hi = px.min(0) - 50, px.max(0) + 50
+    return [lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]]
+
+
+def make_multiperson_frame(n_persons: int, seed: int = 0, imshape=(512, 910)):
+    """One synthetic frame with several people under a single camera.
+
+    -> (image uint8 RGB, boxes [P,4], Camera, world [P,17,3] mm). Drives the
+    multi-person estimator tests/bench (BASELINE config 5) without licensed
+    detector or dataset assets.
+    """
+    rng = np.random.default_rng((seed, 777))
+    cam = Camera.from_fov(65.0, imshape)
+    img = _make_frame_background(rng, imshape)
 
     worlds, boxes = [], []
     colors = _joint_colors(len(_BASE_POSE))
@@ -126,14 +151,7 @@ def make_multiperson_frame(n_persons: int, seed: int = 0, imshape=(512, 910)):
         x = (p - (n_persons - 1) / 2) * depth * 0.45 / max(n_persons / 3, 1)
         root = np.array([x, rng.uniform(-0.05, 0.1) * depth, depth])
         world = random_pose(rng) + root
-        px = cam.world_to_image(world)
-        radius = max(2, int(180 / depth * cam.K[0, 0] / 55))
-        for pt, c in zip(px, colors):
-            if np.all(np.isfinite(pt)):
-                cv2.circle(img, (int(round(pt[0])), int(round(pt[1]))), radius,
-                           tuple(int(v) for v in c), -1)
-        lo, hi = px.min(0) - 50, px.max(0) + 50
-        boxes.append([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+        boxes.append(_render_person(img, cam, world, colors))
         worlds.append(world)
     return img, np.asarray(boxes, np.float64), cam, np.stack(worlds)
 
@@ -145,19 +163,9 @@ def make_multiperson_sequence(n_persons: int, n_frames: int, seed: int = 0,
     interpolates between two random poses — drives the pipelined
     `MultiPersonEstimator.estimate_stream` demo/test without video assets.
     Background and camera are fixed across frames (like a static camera)."""
-    import cv2
-
     rng = np.random.default_rng((seed, 778))
-    h, w = imshape
     cam = Camera.from_fov(65.0, imshape)
-    bg = np.zeros((h, w, 3), np.uint8)
-    bg[:] = rng.integers(10, 70, 3).astype(np.uint8)
-    for _ in range(16):
-        p1 = rng.integers(0, (w, h)).astype(int)
-        p2 = rng.integers(0, (w, h)).astype(int)
-        cv2.line(bg, tuple(p1), tuple(p2),
-                 tuple(int(v) for v in rng.integers(0, 110, 3)),
-                 int(rng.integers(1, 6)))
+    bg = _make_frame_background(rng, imshape)
 
     colors = _joint_colors(len(_BASE_POSE))
     tracks = []
@@ -186,14 +194,7 @@ def make_multiperson_sequence(n_persons: int, n_frames: int, seed: int = 0,
             # smooth pose morph a -> b -> a over the sequence
             alpha = 0.5 - 0.5 * np.cos(2 * np.pi * f / max(n_frames, 2))
             world = (1 - alpha) * tr["pose_a"] + alpha * tr["pose_b"] + root
-            px = cam.world_to_image(world)
-            radius = max(2, int(180 / root[2] * cam.K[0, 0] / 55))
-            for pt, c in zip(px, colors):
-                if np.all(np.isfinite(pt)):
-                    cv2.circle(img, (int(round(pt[0])), int(round(pt[1]))),
-                               radius, tuple(int(v) for v in c), -1)
-            lo, hi = px.min(0) - 50, px.max(0) + 50
-            boxes.append([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+            boxes.append(_render_person(img, cam, world, colors))
             worlds.append(world)
         yield img, np.asarray(boxes, np.float64), cam, np.stack(worlds)
 

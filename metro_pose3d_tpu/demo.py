@@ -86,20 +86,32 @@ def run_video(est, joint_info, n_frames: int, out_path: str):
 
     from metro_pose3d_tpu.data.synthetic import make_multiperson_sequence
 
-    seq = list(make_multiperson_sequence(3, n_frames, seed=0))
-    frames = [(img, boxes, cam) for img, boxes, cam, _ in seq]
-    overlays = []
-    for (img, boxes, cam), out in zip(frames, est.estimate_stream(iter(frames))):
-        overlays.append(draw_overlay_cv(img, out, joint_info))
-    h, w = overlays[0].shape[:2]
-    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
-    if not writer.isOpened():
+    # two passes over the generator keep memory O(pipeline depth): the
+    # estimator consumes one lazily, the overlay loop re-generates frames
+    # in lockstep (byte-identical: the generator is deterministic)
+    def frames():
+        for img, boxes, cam, _ in make_multiperson_sequence(3, n_frames, seed=0):
+            yield img, boxes, cam
+
+    writer = None
+    fallback = []
+    for (img, boxes, cam), out in zip(frames(), est.estimate_stream(frames())):
+        overlay = draw_overlay_cv(img, out, joint_info)
+        if writer is None and not fallback:
+            h, w = overlay.shape[:2]
+            writer = cv2.VideoWriter(
+                out_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+            if not writer.isOpened():
+                writer = None  # no codec: collect frames for the npz path
+        if writer is not None:
+            writer.write(cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
+        else:
+            fallback.append(overlay)
+    if writer is None:
         alt = out_path + ".npz"
-        np.savez_compressed(alt, frames=np.stack(overlays))
+        np.savez_compressed(alt, frames=np.stack(fallback))
         print(f"VideoWriter unavailable; wrote frames to {alt}")
         return alt
-    for fr in overlays:
-        writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
     writer.release()
     return out_path
 

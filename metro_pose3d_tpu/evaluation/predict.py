@@ -192,7 +192,9 @@ def predict_dataset(
         # the eval script cannot mislabel duplicate numbers as the
         # univ protocol.
         scales = [dataset.test_univ_scale(offset + i) for i in range(n)]
-        if all(s is not None for s in scales):
+        # `scales and ...`: an empty slice (n=0 multi-host tail) must not
+        # vacuously emit the key a legacy shard's other hosts omit
+        if scales and all(s is not None for s in scales):
             result["univ_scale"] = np.array(scales, np.float32)
     result["joint_names"] = np.array(ji.names)
     result["example_offset"] = np.int64(offset)

@@ -83,10 +83,15 @@ def main(argv=None):
 
     if "--test" in modes:
         from metro_pose3d_tpu.data import get_dataset
-        from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+        from metro_pose3d_tpu.evaluation.predict import (
+            _check_joint_count, predict_dataset, save_predictions,
+        )
         from metro_pose3d_tpu.parallel.mesh import make_mesh
 
         dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        # before _load_variables: int8 calibration costs minutes of chip
+        # time, and a skeleton mismatch must fail before it, not after
+        _check_joint_count(cfg, dataset.joint_info)
         variables = _load_variables(cfg, dataset)
         result = predict_dataset(cfg, variables, dataset, mesh=make_mesh())
         path = cfg.eval.pred_path or f"{cfg.train.logdir}/predictions.npz"
@@ -116,10 +121,11 @@ def main(argv=None):
         # frame-wise multi-person prediction (BASELINE config 5, e.g. 3DPW)
         from metro_pose3d_tpu.data import get_dataset
         from metro_pose3d_tpu.evaluation.predict import (
-            predict_multiperson_dataset, save_predictions,
+            _check_joint_count, predict_multiperson_dataset, save_predictions,
         )
 
         dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        _check_joint_count(cfg, dataset.joint_info)  # before calibration
         result = predict_multiperson_dataset(
             cfg, _load_variables(cfg, dataset), dataset)
         path = cfg.eval.pred_path or f"{cfg.train.logdir}/predictions_mp.npz"

@@ -186,7 +186,12 @@ class MultiPersonEstimator:
             for k in prepared[0]
         }
         if self.frame_mode:
-            frame = np.ascontiguousarray(image[:, : image.shape[1] // 2 * 2])
+            # COPY unconditionally (ascontiguousarray is a no-op for even
+            # widths): the H2D transfer is asynchronous and _dispatch
+            # returns while it may still be in flight — a caller that
+            # decodes the next video frame into the same reused buffer
+            # (standard cv2 stream pattern) would otherwise tear frame i
+            frame = np.array(image[:, : image.shape[1] // 2 * 2])
             batch["frame"] = jnp.asarray(frame)
         out = self._predict(self.variables, batch)
         return out, n, crop_cams, camera
@@ -241,24 +246,36 @@ class MultiPersonEstimator:
         per-frame wall time is dispatch/transfer latency, not compute
         (scripts/exp_multiperson_breakdown.py).
 
-        Frames with no boxes or more boxes than the largest bucket flush the
-        pipeline and run synchronously (they need chunking/empty handling).
+        Each frame is (image, boxes[, camera]) — the camera defaults like
+        `estimate_frame`. Zero-box frames are pure host work and ride the
+        pipeline as ready results (no flush); only frames with more boxes
+        than the largest bucket drain it (they need synchronous chunking).
         """
-        pending: list = []
-        for image, boxes, camera in frames:
+        pending: list = []  # ("d", dispatch-tuple) | ("r", ready result)
+
+        def _pop():
+            kind, payload = pending.pop(0)
+            return payload if kind == "r" else self._collect(*payload)
+
+        for frame in frames:
+            image, boxes, *rest = frame
+            camera = rest[0] if rest else None
             boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
             if camera is None:
                 camera = Camera.from_fov(60.0, image.shape[:2])
-            if len(boxes) == 0 or len(boxes) > self.buckets[-1]:
+            if len(boxes) > self.buckets[-1]:
                 while pending:
-                    yield self._collect(*pending.pop(0))
+                    yield _pop()
                 yield self.estimate_frame(image, boxes, camera)
                 continue
-            pending.append(self._dispatch(image, boxes, camera))
+            if len(boxes) == 0:
+                pending.append(("r", self.estimate_frame(image, boxes, camera)))
+            else:
+                pending.append(("d", self._dispatch(image, boxes, camera)))
             if len(pending) >= max(depth, 1):
-                yield self._collect(*pending.pop(0))
+                yield _pop()
         while pending:
-            yield self._collect(*pending.pop(0))
+            yield _pop()
 
     def estimate_batch(self, frames):
         """Convenience: list of (image, boxes, camera) -> list of results

@@ -133,14 +133,38 @@ def run_int8():
     print("CHIP int8 PTQ PROTOCOL MATCHES CPU-PINNED GOLDEN")
 
 
+def _ensure_shard(name: str, root: str) -> None:
+    """Write the byte-stable synthetic shard when /tmp lost it (fresh boot).
+
+    The writers are deterministic, so regenerating yields the same bytes
+    the goldens were pinned on (tests/test_*_shard.py assert stability)."""
+    marker = os.path.join(
+        root, "h36m" if name == "h36m" else "3dhp",
+        "annotations.npz" if name == "h36m" else "annotations_train.npz")
+    if os.path.exists(marker):
+        return
+    from metro_pose3d_tpu.data.synth_shard import (
+        write_synthetic_3dhp_shard, write_synthetic_h36m_shard,
+    )
+
+    print(f"shard missing; writing synthetic {name} shard under {root}",
+          flush=True)
+    if name == "h36m":
+        write_synthetic_h36m_shard(root)
+    else:
+        write_synthetic_3dhp_shard(root)
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "h36m"
     if name == "int8":
+        _ensure_shard("h36m", DATASETS["h36m"]["root"])
         print("device:", jax.devices()[0].platform, " dataset: h36m(int8)",
               flush=True)
         run_int8()
         return
     spec = DATASETS[name]
+    _ensure_shard(name, spec["root"])
     print("device:", jax.devices()[0].platform, " dataset:", name, flush=True)
     with open(spec["golden"]) as f:
         golden = json.load(f)

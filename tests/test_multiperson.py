@@ -111,11 +111,13 @@ class TestEstimator:
         for seed in (11, 12, 13, 14):
             image, boxes, cam, _ = make_multiperson_frame(3, seed=seed)
             frames.append((image, boxes, cam))
-        # edge frames: no boxes, and more boxes than the max bucket (8)
+        # edge frames: no boxes, more boxes than the max bucket (8), and a
+        # 2-tuple without a camera (defaults like estimate_frame)
         img0 = frames[0][0]
         frames.insert(2, (img0, np.zeros((0, 4)), frames[0][2]))
         many = np.concatenate([frames[1][1]] * 4)  # 12 > 8
         frames.append((frames[1][0], many, frames[1][2]))
+        frames.append((frames[0][0], frames[0][1]))
 
         ref = [estimator.estimate_frame(*f) for f in frames]
         for depth in (1, 2, 3):
