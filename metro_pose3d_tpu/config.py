@@ -149,6 +149,10 @@ class TrainConfig:
                                     # same math up to float reassociation
     seed: int = 0
     checkpoint_every: int = 2_000
+    # > 0: capture an XLA profiler trace of this many consecutive train
+    # steps (starting a few steps in, past compilation) into
+    # <logdir>/profile — view with tensorboard-plugin-profile/xprof
+    profile_steps: int = 0
     keep_checkpoints: int = 3
     log_every: int = 100
     validate_every: int = 10_000

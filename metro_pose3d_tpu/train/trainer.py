@@ -189,10 +189,25 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     t_last = time.perf_counter()
     n_since = 0
     history = []
+    # CLI-reachable xprof capture (SURVEY §6 tracing): trace a few
+    # steady-state steps, starting past the first compile
+    prof_start = start_step + 3 if cfg.train.profile_steps > 0 else -1
+    prof_stop = prof_start + cfg.train.profile_steps
+    profiling = False
     for step_i in range(start_step, total):
+        if step_i == prof_start:
+            jax.profiler.start_trace(os.path.join(cfg.train.logdir, "profile"))
+            profiling = True
         batch = put_batch(next(it), mesh)
         state, metrics = step_fn(state, batch, bank)
         n_since += len(batch["is_3d"])
+        if profiling and step_i + 1 >= prof_stop:
+            jax.device_get(metrics)  # close the traced region at a real sync
+            jax.profiler.stop_trace()
+            profiling = False
+            log.info("wrote xprof trace (%d steps) to %s",
+                     cfg.train.profile_steps,
+                     os.path.join(cfg.train.logdir, "profile"))
 
         if (step_i + 1) % cfg.train.log_every == 0 or step_i + 1 == total:
             metrics = jax.device_get(metrics)
@@ -224,6 +239,8 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
             if ckpt.save_if_best(step_i + 1, jax.device_get(state), val):
                 log.info("step %d new best checkpoint (%.2f mm)", step_i + 1, val)
 
+    if profiling:  # run ended inside the traced window
+        jax.profiler.stop_trace()
     ckpt.wait()
     writer.close()
     with open(os.path.join(cfg.train.logdir, "history.json"), "w") as f:

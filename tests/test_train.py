@@ -81,6 +81,25 @@ class TestTrainerRun:
         state2 = train(cfg2, ds, mesh=mesh, max_steps=6)
         assert int(state2.step) == 6
 
+    def test_profile_steps_writes_trace(self, tmp_path):
+        """train.profile_steps > 0 must leave an xprof trace under
+        <logdir>/profile (SURVEY §6 tracing, CLI-reachable)."""
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+        from metro_pose3d_tpu.train.trainer import train
+
+        cfg = apply_overrides(Config(), {
+            **TINY,
+            "train.logdir": str(tmp_path / "run"),
+            "train.profile_steps": "2",
+        })
+        ds = SyntheticDataset(n_train=16, n_test=4, imshape=(256, 256))
+        train(cfg, ds, mesh=make_mesh(4), max_steps=6)
+        prof = tmp_path / "run" / "profile"
+        assert prof.is_dir()
+        traced = [p for p in prof.rglob("*") if p.is_file()]
+        assert traced, "no trace files written"
+
     def test_asset_roots_flow_from_config(self, tmp_path, monkeypatch):
         """--data.occluder_root/--data.background_root must reach the bank
         builders: they were train() arguments only, so the CLI could never
