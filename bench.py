@@ -116,7 +116,11 @@ if __name__ == "__main__":
     import sys
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
-    bs = int(pos[0]) if pos else 128
+    # measured optima (BASELINE round-3 revisit): bs128 for single-pass,
+    # bs64 for flip-TTA (the doubled batch then runs the preferred bs128
+    # graph; int8 peak is SHARP at 128 — 96: 9.4k, 128: 10.05k, 160: 8.9k,
+    # 192: 9.3k crops/s)
+    bs = int(pos[0]) if pos else (64 if "--flip-tta" in sys.argv else 128)
     main(
         batch_size=bs,
         flip_tta="--flip-tta" in sys.argv,
