@@ -50,6 +50,39 @@ def test_demo_video_mode(tmp_path, monkeypatch):
     assert (tmp_path / wrote[0]).stat().st_size > 5_000
 
 
+def test_demo_video_codec_fallback(tmp_path, monkeypatch):
+    """When no mp4 codec exists, --video must fall back to a frames npz."""
+    import cv2
+
+    import metro_pose3d_tpu.config as config_mod
+    from metro_pose3d_tpu.config import apply_overrides
+
+    tiny = apply_overrides(config_mod.Config(), {
+        "model.backbone": "tiny", "model.proc_side": "64", "model.depth": "4",
+        "model.compute_dtype": "float32", "data.source_side": "128",
+    })
+    monkeypatch.setattr(config_mod, "Config", lambda: tiny)
+
+    class _NoCodec:
+        def __init__(self, *a, **k):
+            pass
+
+        def isOpened(self):
+            return False
+
+    monkeypatch.setattr(cv2, "VideoWriter", _NoCodec)
+
+    from metro_pose3d_tpu.demo import main
+
+    out = tmp_path / "demo.mp4"
+    rc = main(["--video", "3", "--out", str(out)])
+    assert rc == 0
+    alt = tmp_path / "demo.mp4.npz"
+    assert alt.exists()
+    frames = np.load(alt)["frames"]
+    assert frames.shape[0] == 3 and frames.dtype == np.uint8
+
+
 def test_demo_requires_boxes_with_image(tmp_path):
     import cv2
 
