@@ -154,6 +154,30 @@ class MultiPersonEstimator:
                 return b
         return self.buckets[-1]
 
+    def warmup(self, max_people: int, imshape=None, camera=None) -> int:
+        """Pre-compile every bucket graph up to `max_people` so a serving
+        stream never stalls on a cold compile mid-video (each bucket is a
+        separate jit shape; a full R50 compile can take minutes via a
+        remote-compile service). `imshape` must match the frames that will
+        be served in frame mode (the shared-frame shape is part of the jit
+        signature); defaults to 720p. Returns the number of buckets built.
+        """
+        h, w = imshape if imshape is not None else (720, 1280)
+        image = np.zeros((h, w, 3), np.uint8)
+        if camera is None:
+            camera = Camera.from_fov(60.0, (h, w))
+        built = 0
+        side = min(h, w) // 3
+        box = [w // 2 - side // 2, h // 2 - side // 2, side, side]
+        for b in self.buckets:
+            if b > self._bucket(max_people):
+                break
+            out = self._dispatch(image, np.asarray([box] * b, np.float64), camera)
+            jax.tree.map(
+                lambda t: np.asarray(t) if hasattr(t, "shape") else t, out[0])
+            built += 1
+        return built
+
     def _dispatch(self, image: np.ndarray, boxes: np.ndarray, camera: Camera):
         """Host prep + H2D + predict dispatch for one frame (0 < N <= max
         bucket). Returns the un-synced device output plus the host context

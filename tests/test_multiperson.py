@@ -103,6 +103,16 @@ class TestEstimator:
             out["pose3d_abs"][:3], out["pose3d_abs"][3:6], atol=0.05
         )
 
+    def test_warmup_precompiles_buckets(self, estimator):
+        """warmup(n) must build every bucket graph <= bucket(n) so serving
+        streams never compile mid-video; results afterwards are unchanged."""
+        image, boxes, cam, _ = make_multiperson_frame(3, seed=21)
+        built = estimator.warmup(3, imshape=image.shape[:2], camera=cam)
+        assert built == len([b for b in estimator.buckets if b <= 4])
+        out = estimator.estimate_frame(image, boxes, cam)
+        assert out["pose3d_abs"].shape == (3, 17, 3)
+        assert np.isfinite(out["pose3d_abs"]).all()
+
     def test_estimate_stream_equals_per_frame(self, estimator):
         """The pipelined stream must yield EXACTLY what per-frame calls
         produce, in order — including the flush paths for empty-box frames
