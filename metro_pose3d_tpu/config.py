@@ -32,6 +32,19 @@ class ModelConfig:
                                     # projection + stem)
     proc_side: int = C.PROC_SIDE
     stride: int = C.STRIDE          # output stride (dilated final stage)
+    # Phase-specific output strides — the reference's --stride-train /
+    # --stride-test flag pair (SURVEY.md §6 config row). The dilated-final-
+    # stage trick keeps every parameter shape identical across strides
+    # (dilation only changes conv spacing, never kernel/BN shapes), so ONE
+    # param tree can train at a coarse stride (e.g. 32: the final stage runs
+    # at 8x8 instead of 16x16 for a 256 crop — cheaper convs) and evaluate
+    # at a fine one (e.g. 16, or 8 for extra heatmap resolution). 0 = use
+    # `stride` (default: phases share one stride, the round-1 behavior).
+    # Resolution happens via `at_phase`: the trainer (incl. its in-loop
+    # validation) runs the train stride; --test/--export/serving paths run
+    # the test stride.
+    stride_train: int = 0
+    stride_test: int = 0
     depth: int = C.DEPTH            # depth slices of the volumetric heatmap
     box_size_mm: float = C.BOX_SIZE_MM
     num_joints: int = 17
@@ -68,6 +81,20 @@ class ModelConfig:
     @property
     def heatmap_side(self) -> int:
         return self.proc_side // self.stride
+
+    def at_phase(self, train: bool) -> "ModelConfig":
+        """Resolve stride_train/stride_test into a concrete `stride`.
+
+        Every model-construction site calls this (train/state.py +
+        train/loop.py with train=True; evaluation/engine.py, export.py,
+        multiperson.py, models/quantize.py with train=False), so the
+        phase fields never leak past model build time. Returns self when
+        no phase override is set.
+        """
+        s = (self.stride_train if train else self.stride_test) or self.stride
+        if s == self.stride and not (self.stride_train or self.stride_test):
+            return self
+        return dataclasses.replace(self, stride=s, stride_train=0, stride_test=0)
 
 
 @dataclasses.dataclass(frozen=True)

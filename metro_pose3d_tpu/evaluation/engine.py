@@ -49,7 +49,7 @@ def make_predict_fn(
     Returns dict with pose3d_rootrel (mm), pose2d_px, and pose3d_abs (mm,
     camera frame) when reconstruction is enabled.
     """
-    model = MetroModel(cfg.model)
+    model = MetroModel(cfg.model.at_phase(train=False))
     flip_tta = cfg.eval.flip_tta if flip_tta is None else flip_tta
     reconstruct = cfg.eval.reconstruct_absolute if reconstruct is None else reconstruct
     use_bones = (

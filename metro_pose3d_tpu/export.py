@@ -45,7 +45,7 @@ def load_exported(out_dir: str, flip_tta: bool | None = None):
 
     from metro_pose3d_tpu.models.metro import MetroModel
 
-    model = MetroModel(cfg.model)
+    model = MetroModel(cfg.model.at_phase(train=False))
     template = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3), jnp.float32),

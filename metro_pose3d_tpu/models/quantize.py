@@ -180,7 +180,8 @@ def calibrate_on_dataset(cfg, variables, dataset, n_batches: int = 8):
     from metro_pose3d_tpu.pipeline.device import device_augment
     from metro_pose3d_tpu.pipeline.loader import batch_iterator
 
-    model = MetroModel(dataclasses.replace(cfg.model, quantize="calib"))
+    model = MetroModel(
+        dataclasses.replace(cfg.model.at_phase(train=False), quantize="calib"))
     it = batch_iterator(
         dataset.test_example, dataset.n_test, dataset.joint_info,
         cfg.eval.batch_size, cfg.model.proc_side, cfg.data.source_side,

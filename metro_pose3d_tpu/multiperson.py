@@ -56,7 +56,7 @@ def make_multiperson_predict_fn(
     per-crop FRAME-coordinate warp params — the host ships the frame once
     (2.7 MB at 720p) instead of one 786 KB source tile per person, and the
     device warps all crops out of it (`ops.warp.warp_from_frame`)."""
-    model = MetroModel(cfg.model)
+    model = MetroModel(cfg.model.at_phase(train=False))
     flip_tta = cfg.eval.flip_tta if flip_tta is None else flip_tta
     use_bones = (
         cfg.eval.scale_recovery == "bone_lengths"

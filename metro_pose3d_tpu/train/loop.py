@@ -118,7 +118,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     `occluder_packed=True` declares that the bank operand passed at call
     time is the PRE-packed output of `pipeline.device.pack_occluder_bank_for`
     (pack once at setup rather than in-graph every step)."""
-    model = MetroModel(cfg.model)
+    model = MetroModel(cfg.model.at_phase(train=True))
     bg_bank = (
         jnp.asarray(background_bank) if background_bank is not None else None
     )

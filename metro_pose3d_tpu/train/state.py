@@ -24,7 +24,7 @@ def create_train_state(cfg: Config, tx: optax.GradientTransformation, rng=None) 
     """Initialize model + optimizer state (host or device, caller shards)."""
     if rng is None:
         rng = jax.random.PRNGKey(cfg.train.seed)
-    model = MetroModel(cfg.model)
+    model = MetroModel(cfg.model.at_phase(train=True))
     dummy = jnp.zeros((1, cfg.model.proc_side, cfg.model.proc_side, 3), jnp.float32)
     variables = model.init(rng, dummy, train=True)
     params = variables["params"]

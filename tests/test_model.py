@@ -422,3 +422,66 @@ class TestGhostBatchNorm:
         val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
         assert np.isfinite(float(val))
         assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+
+class TestPhaseStrides:
+    """model.stride_train / model.stride_test — the reference's
+    --stride-train/--stride-test flag pair. The dilated-final-stage trick
+    keeps every parameter shape identical across output strides, so one
+    param tree trains coarse and evaluates fine."""
+
+    def test_at_phase_passthrough_when_unset(self):
+        cfg = tiny_cfg()
+        assert cfg.at_phase(train=True) is cfg
+        assert cfg.at_phase(train=False) is cfg
+
+    def test_at_phase_resolves_and_clears(self):
+        cfg = tiny_cfg(stride=16, stride_train=32, stride_test=8)
+        tr, ev = cfg.at_phase(train=True), cfg.at_phase(train=False)
+        assert (tr.stride, tr.stride_train, tr.stride_test) == (32, 0, 0)
+        assert (ev.stride, ev.stride_train, ev.stride_test) == (8, 0, 0)
+        assert tr.heatmap_side == 2 and ev.heatmap_side == 8
+
+    def test_param_tree_shared_across_strides(self):
+        import chex
+
+        cfg = tiny_cfg(stride_train=32)  # train @32, eval @ base 16
+        train_model = MetroModel(cfg.at_phase(train=True))
+        eval_model = MetroModel(cfg.at_phase(train=False))
+        crops = jnp.asarray(
+            np.random.RandomState(1).uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+        variables = train_model.init(jax.random.PRNGKey(0), crops, train=True)
+        l3_tr, _ = train_model.apply(variables, crops, train=False)
+        assert l3_tr.shape[1:3] == (2, 2)  # 64/32
+        # identical tree structure + shapes at the eval stride
+        ev_vars = jax.eval_shape(
+            lambda c: eval_model.init(jax.random.PRNGKey(0), c, train=True),
+            crops)
+        chex.assert_trees_all_equal_shapes(variables["params"], ev_vars["params"])
+        chex.assert_trees_all_equal_shapes(
+            variables["batch_stats"], ev_vars["batch_stats"])
+        # the train-initialized tree runs directly at the fine stride
+        l3_ev, l2_ev = eval_model.apply(variables, crops, train=False)
+        assert l3_ev.shape[1:3] == (4, 4)  # 64/16
+        assert np.all(np.isfinite(np.asarray(l3_ev)))
+        assert np.all(np.isfinite(np.asarray(l2_ev)))
+
+    def test_train_state_feeds_eval_phase_model(self):
+        from metro_pose3d_tpu.config import Config
+        from metro_pose3d_tpu.train.loop import make_optimizer
+        from metro_pose3d_tpu.train.state import create_train_state
+
+        cfg = Config(model=tiny_cfg(stride_train=32))
+        state = create_train_state(cfg, make_optimizer(cfg))
+        model = MetroModel(cfg.model.at_phase(train=False))
+        crops = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        l3, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            crops, train=False)
+        assert l3.shape[1:3] == (4, 4)
+
+    def test_cli_override_coercion(self):
+        cfg = apply_overrides(
+            Config(), {"model.stride_train": "32", "model.stride_test": "16"})
+        assert cfg.model.stride_train == 32
+        assert cfg.model.stride_test == 16
