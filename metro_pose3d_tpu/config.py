@@ -19,7 +19,10 @@ from metro_pose3d_tpu import reference_constants as C
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     model_class: str = "metro"      # "metro" | "twofive" (2.5D baseline)
-    backbone: str = "resnet50"      # "resnet50" | "resnet18" | "tiny" (tests)
+    backbone: str = "resnet50"      # resnet50/101/152 (bottleneck), resnet18/
+                                    # 34 (basic block), "tiny" (tests) — the
+                                    # reference's --architecture depth choices
+                                    # (models/resnet.py RESNET_DEPTHS)
     preactivation: bool = True      # ResNet v2 (preact) vs v1.5
     conv_padding: str = "same"      # "same" (TF parity) | "torch"/"keras"
                                     # (for converted ImageNet weights; they

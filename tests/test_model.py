@@ -74,6 +74,32 @@ class TestParamCount:
         n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(variables["params"]))
         assert 20e6 < n_params < 30e6  # torso of ResNet-50 is ~23.5M
 
+    def test_deeper_backbone_param_counts(self):
+        # the reference's --architecture flag also offers deeper ResNets;
+        # eval_shape keeps this free of real compute
+        for variant, lo, hi in [("resnet101", 40e6, 50e6),
+                                ("resnet152", 55e6, 65e6)]:
+            model = ResNet(variant=variant, output_stride=16)
+            crops = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32)
+            variables = jax.eval_shape(
+                lambda c: model.init(jax.random.PRNGKey(0), c, train=False),
+                crops)
+            n = sum(np.prod(x.shape)
+                    for x in jax.tree.leaves(variables["params"]))
+            assert lo < n < hi, (variant, n)
+
+    def test_deeper_backbone_through_model_config(self):
+        cfg = ModelConfig(backbone="resnet101")
+        crops = jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda c: MetroModel(cfg).init(jax.random.PRNGKey(0), c,
+                                           train=False), crops)
+        out3d, out2d = jax.eval_shape(
+            lambda v, c: MetroModel(cfg).apply(v, c, train=False),
+            variables, crops)
+        assert out3d.shape == (1, 16, 16, cfg.depth, cfg.num_joints)
+        assert out2d.shape == (1, 16, 16, cfg.num_joints)
+
     def test_dilated_stage_keeps_resolution(self):
         model = ResNet(variant="tiny", output_stride=16)
         crops = jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.float32)
