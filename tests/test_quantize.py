@@ -161,3 +161,28 @@ def test_quantize_stage_policy_limits_scales():
     out3, out2 = MetroModel(cfg8.model).apply(
         calibrated, _crops(np.random.RandomState(5)), train=False)
     assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_int8_calibration_at_test_stride():
+    """quantize x phase-stride interaction: with model.stride_test set, the
+    calibration model and the serving model must both build at the TEST
+    stride (models/quantize.calibrate resolves at_phase(train=False)), and
+    per-channel amax scales are stride-independent by construction."""
+    rng = np.random.RandomState(0)
+    cfg = _cfg("none")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stride_test=32))
+    base = MetroModel(cfg.model.at_phase(train=False))
+    variables = base.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+
+    calib_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize="calib"))
+    calibrated = calibrate(
+        MetroModel(calib_cfg.model.at_phase(train=False)), dict(variables),
+        [_crops(rng)])
+    int8_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+    l3, l2 = MetroModel(int8_cfg.model.at_phase(train=False)).apply(
+        calibrated, _crops(np.random.RandomState(7)), train=False)
+    assert l3.shape[1:3] == (2, 2)  # 64 / 32: built at the test stride
+    assert np.isfinite(np.asarray(l3)).all()
