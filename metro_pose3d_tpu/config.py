@@ -147,6 +147,12 @@ class DataConfig:
     # 3x3 algebra is GIL-bound — BASELINE.md puts it at ~4.5 cores/chip at
     # the 5k crops/s target)
     pool_type: str = "thread"
+    # crop-parameter math engine: "python" (numpy; the golden-pinned
+    # default), "native" (C engine in native/croprep.c, ~100x on the
+    # parameter chain — the production-host choice; fails loud when the
+    # extension can't build), "auto" (native when built, else python).
+    # Results agree to ~1e-12 relative; rng draws are engine-independent.
+    host_prep: str = "python"
     test_box_expansion: float = C.TEST_BOX_EXPANSION
     # augmentation asset roots (reference: VOC2012 occluder cutouts, INRIA-
     # style background images for 3DHP green-screen replacement). Empty ->

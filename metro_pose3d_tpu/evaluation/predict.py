@@ -140,7 +140,7 @@ def predict_dataset(
         cfg.model.proc_side, cfg.data.source_side, aug_cfg=None,
         shuffle=False, max_epochs=1, drop_remainder=False,
         n_workers=cfg.data.workers, box_expansion=cfg.data.test_box_expansion,
-        pool_type=cfg.data.pool_type,
+        pool_type=cfg.data.pool_type, host_prep=cfg.data.host_prep,
     )
     outs = {"pose3d_rootrel": [], "pose3d_abs": [], "pose2d_px": []}
     gts = {"gt3d_rootrel": [], "gt3d_abs": [], "valid": []}

@@ -188,7 +188,7 @@ def calibrate_on_dataset(cfg, variables, dataset, n_batches: int = 8):
         aug_cfg=None, shuffle=False, max_epochs=1, drop_remainder=False,
         n_workers=cfg.data.workers,
         box_expansion=cfg.data.test_box_expansion,
-        pool_type=cfg.data.pool_type,
+        pool_type=cfg.data.pool_type, host_prep=cfg.data.host_prep,
     )
 
     def crops_gen():

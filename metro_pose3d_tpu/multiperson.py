@@ -191,6 +191,7 @@ class MultiPersonEstimator:
                 prepare_inference_crop_params(
                     box, camera, self.cfg.model.proc_side,
                     self.cfg.data.test_box_expansion,
+                    engine=self.cfg.data.host_prep,
                 )
                 for box in boxes
             ]
@@ -199,6 +200,7 @@ class MultiPersonEstimator:
                 prepare_inference_crop(
                     image, box, camera, self.cfg.model.proc_side,
                     self.cfg.data.source_side, self.cfg.data.test_box_expansion,
+                    engine=self.cfg.data.host_prep,
                 )
                 for box in boxes
             ]

@@ -204,17 +204,18 @@ fail:
 /* --------------------------------------------------------- tile extraction */
 
 /* ROI slice + integer-factor box (AREA) decimation + zero pad into a fixed
- * tile_side x tile_side x 3 tile. Matches pipeline/crops.extract_source_tile
- * semantics for integer factors. */
+ * tile_side x tile_side x C tile. Matches pipeline/crops.extract_source_tile
+ * semantics for integer factors. C (trailing optional arg) defaults to 3;
+ * C=1 serves mask tiles without a channel-replication round trip. */
 static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
   Py_buffer img;
-  int h, w, x0, y0, x1, y1, factor, tile_side;
-  if (!PyArg_ParseTuple(args, "y*iiiiiiii", &img, &h, &w, &x0, &y0, &x1, &y1,
-                        &factor, &tile_side))
+  int h, w, x0, y0, x1, y1, factor, tile_side, ch = 3;
+  if (!PyArg_ParseTuple(args, "y*iiiiiiii|i", &img, &h, &w, &x0, &y0, &x1, &y1,
+                        &factor, &tile_side, &ch))
     return NULL;
-  if ((Py_ssize_t)h * w * 3 != img.len) {
+  if (ch < 1 || ch > 4 || (Py_ssize_t)h * w * ch != img.len) {
     PyBuffer_Release(&img);
-    PyErr_SetString(PyExc_ValueError, "image buffer size != h*w*3");
+    PyErr_SetString(PyExc_ValueError, "image buffer size != h*w*channels");
     return NULL;
   }
   if (x0 < 0 || y0 < 0 || x1 > w || y1 > h || x1 < x0 || y1 < y0 ||
@@ -223,7 +224,7 @@ static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
     PyErr_SetString(PyExc_ValueError, "bad ROI/factor/tile_side");
     return NULL;
   }
-  const Py_ssize_t tbytes = (Py_ssize_t)tile_side * tile_side * 3;
+  const Py_ssize_t tbytes = (Py_ssize_t)tile_side * tile_side * ch;
   PyObject *out = PyBytes_FromStringAndSize(NULL, tbytes);
   if (!out) {
     PyBuffer_Release(&img);
@@ -246,27 +247,74 @@ static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
   if (out_w > tile_side) out_w = tile_side;
   if (out_h > tile_side) out_h = tile_side;
   const int f2 = factor * factor;
-  for (int oy = 0; oy < out_h; oy++) {
-    uint8_t *drow = dst + (size_t)oy * tile_side * 3;
-    if (factor == 1) {
-      const uint8_t *srow = src + ((size_t)(y0 + oy) * w + x0) * 3;
-      memcpy(drow, srow, (size_t)out_w * 3);
-    } else {
+  if (factor == 1) {
+    for (int oy = 0; oy < out_h; oy++)
+      memcpy(dst + (size_t)oy * tile_side * ch,
+             src + ((size_t)(y0 + oy) * w + x0) * ch, (size_t)out_w * ch);
+  } else if (factor <= 16) {
+    /* three-pass decimation, all passes vectorizable: (1) vertical
+     * u8->u16 row sums (contiguous adds), (2) horizontal group sums with
+     * contiguous destination (fx-outer), (3) rounding division with the
+     * common block sizes specialized so the compiler emits vector
+     * magic-multiplies. Same integer accumulation and rounding as the
+     * naive f x f loop (byte-exact). u16 is safe: f*f*255 <= 65280. */
+    const size_t row_elems = (size_t)out_w * factor * ch;
+    const int n_res = out_w * ch;
+    uint16_t *tmp =
+        (uint16_t *)malloc((row_elems + (size_t)n_res) * sizeof(uint16_t));
+    if (tmp) {
+      uint16_t *res = tmp + row_elems;
+      const int fc = factor * ch;
+      for (int oy = 0; oy < out_h; oy++) {
+        memset(tmp, 0, row_elems * sizeof(uint16_t));
+        for (int fy = 0; fy < factor; fy++) {
+          const uint8_t *restrict p =
+              src + ((size_t)(y0 + oy * factor + fy) * w + x0) * ch;
+          uint16_t *restrict a = tmp;
+          for (size_t i = 0; i < row_elems; i++) a[i] += p[i];
+        }
+        memset(res, 0, (size_t)n_res * sizeof(uint16_t));
+        for (int fx = 0; fx < factor; fx++) {
+          const uint16_t *restrict s = tmp + (size_t)fx * ch;
+          uint16_t *restrict r = res;
+          for (int ox = 0; ox < out_w; ox++)
+            for (int c = 0; c < ch; c++) r[ox * ch + c] += s[ox * fc + c];
+        }
+        uint8_t *restrict drow = dst + (size_t)oy * tile_side * ch;
+        const uint16_t *restrict q = res;
+        switch (f2) {
+          case 4:
+            for (int j = 0; j < n_res; j++) drow[j] = (uint8_t)((q[j] + 2) / 4);
+            break;
+          case 9:
+            for (int j = 0; j < n_res; j++) drow[j] = (uint8_t)((q[j] + 4) / 9);
+            break;
+          case 16:
+            for (int j = 0; j < n_res; j++) drow[j] = (uint8_t)((q[j] + 8) / 16);
+            break;
+          default:
+            for (int j = 0; j < n_res; j++)
+              drow[j] = (uint8_t)((q[j] + f2 / 2) / f2);
+        }
+      }
+      free(tmp);
+    }
+  } else {
+    for (int oy = 0; oy < out_h; oy++) {
+      uint8_t *drow = dst + (size_t)oy * tile_side * ch;
       for (int ox = 0; ox < out_w; ox++) {
-        unsigned int acc[3] = {0, 0, 0};
+        unsigned int acc[4] = {0, 0, 0, 0};
         for (int fy = 0; fy < factor; fy++) {
           const uint8_t *p =
-              src + ((size_t)(y0 + oy * factor + fy) * w + x0 + ox * factor) * 3;
+              src +
+              ((size_t)(y0 + oy * factor + fy) * w + x0 + ox * factor) * ch;
           for (int fx = 0; fx < factor; fx++) {
-            acc[0] += p[0];
-            acc[1] += p[1];
-            acc[2] += p[2];
-            p += 3;
+            for (int c = 0; c < ch; c++) acc[c] += p[c];
+            p += ch;
           }
         }
-        drow[ox * 3 + 0] = (uint8_t)((acc[0] + f2 / 2) / f2);
-        drow[ox * 3 + 1] = (uint8_t)((acc[1] + f2 / 2) / f2);
-        drow[ox * 3 + 2] = (uint8_t)((acc[2] + f2 / 2) / f2);
+        for (int c = 0; c < ch; c++)
+          drow[ox * ch + c] = (uint8_t)((acc[c] + f2 / 2) / f2);
       }
     }
   }
@@ -277,6 +325,9 @@ static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
 
 /* ------------------------------------------------------------------ module */
 
+/* native crop-parameter engine (croprep.c, compiled into this module) */
+extern PyObject *py_crop_params(PyObject *self, PyObject *args);
+
 static PyMethodDef methods[] = {
     {"decode_jpeg", py_decode_jpeg, METH_VARARGS,
      "decode_jpeg(data) -> (rgb_bytes, h, w)"},
@@ -284,6 +335,9 @@ static PyMethodDef methods[] = {
      "decode_jpeg_batch(list_of_bytes, threads=4) -> list[(rgb_bytes,h,w)|None]"},
     {"extract_tile", py_extract_tile, METH_VARARGS,
      "extract_tile(img,h,w,x0,y0,x1,y1,factor,tile_side) -> tile_bytes"},
+    {"crop_params", py_crop_params, METH_VARARGS,
+     "crop_params(cam,bbox,proc,tile,w,h,expand,sx,sy,scale,rot,flip,mode,J,"
+     "coords,valid,mirror) -> (param_doubles, x0, y0, x1, y1, factor)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_metro_native",

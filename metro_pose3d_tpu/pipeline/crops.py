@@ -183,15 +183,76 @@ def rebase_warp_params(params: dict, offset: np.ndarray, factor: float) -> dict:
     return {"H": params["H"], "K": k, "dist": params["dist"]}
 
 
+def _native_inference_params(nat, bbox, camera: Camera, proc_side: int,
+                             tile_side: int, box_expansion: float,
+                             imshape) -> tuple:
+    """C-engine core shared by both inference prep paths: warp params +
+    crop intrinsics + rot_to_orig (mode=2: no ground truth), plus the
+    source ROI for tile extraction. Returns (dict, roi, factor)."""
+    camb = np.empty(29, np.float64)
+    camb[0:9] = camera.K.ravel()
+    camb[9:18] = camera.R.ravel()
+    camb[18:21] = camera.t
+    camb[21:26] = camera.dist
+    camb[26:29] = camera.world_up
+    h, w = imshape[:2]
+    empty = np.empty(0, np.float64)
+    out, x0, y0, x1, y1, factor = nat.crop_params(
+        camb, np.ascontiguousarray(np.asarray(bbox, np.float64)),
+        int(proc_side), int(tile_side), int(w), int(h),
+        float(box_expansion), 0.0, 0.0, 1.0, 0.0, 0, 2, 0,
+        empty, empty, empty,
+    )
+    p = np.frombuffer(out, np.float64)
+    # reconstruct the crop camera (R_crop = M^T @ R_src since
+    # M = R_src @ R_crop^T; shared optical center, no distortion)
+    crop_cam = Camera(
+        p[18:27].reshape(3, 3),
+        p[27:36].reshape(3, 3).T @ camera.R,
+        camera.t,
+        None,
+        camera.world_up,
+    )
+    d = {
+        "warp_h": p[0:9].reshape(3, 3).astype(np.float32),
+        "warp_dist": p[13:18].astype(np.float32),
+        "intrinsics": p[18:27].reshape(3, 3).astype(np.float32),
+        "rot_to_orig": p[27:36].reshape(3, 3).astype(np.float32),
+        "_warp_k_rebased": p[9:13].astype(np.float32),
+        "_warp_k_frame": p[36:40].astype(np.float32),
+        "_crop_cam": crop_cam,
+    }
+    return d, (x0, y0, x1, y1), factor
+
+
 def prepare_inference_crop_params(
     bbox,
     camera: Camera,
     proc_side: int,
     box_expansion: float = 1.0,
+    engine: str = "python",
 ) -> dict:
     """Host prep for one detector box in FRAME MODE: warp parameters in
     full-frame pixel coordinates (no source-tile extraction — the device
     samples the shared frame directly via `ops.warp.warp_from_frame`)."""
+    if engine != "python":
+        nat = _native_engine()
+        if nat is None and engine == "native":
+            raise RuntimeError(
+                "host_prep='native' but the C extension is unavailable")
+        if nat is not None:
+            # imshape only bounds the ROI, which frame mode ignores
+            d, _, _ = _native_inference_params(
+                nat, bbox, camera, proc_side, proc_side, box_expansion,
+                (1 << 24, 1 << 24))
+            return {
+                "warp_h": d["warp_h"],
+                "warp_k": d["_warp_k_frame"],
+                "warp_dist": d["warp_dist"],
+                "intrinsics": d["intrinsics"],
+                "rot_to_orig": d["rot_to_orig"],
+                "_crop_cam": d["_crop_cam"],
+            }
     crop_cam = make_crop_camera(camera, bbox, proc_side, box_expansion)
     params = get_warp_params(camera, crop_cam)
     return {
@@ -211,6 +272,7 @@ def prepare_inference_crop(
     proc_side: int,
     tile_side: int,
     box_expansion: float = 1.0,
+    engine: str = "python",
 ) -> dict:
     """Host prep for one GT-free detector box (multi-person inference path).
 
@@ -220,6 +282,26 @@ def prepare_inference_crop(
     camera back to the ORIGINAL camera frame (both share the optical center,
     so absolute poses transform by pure rotation).
     """
+    if engine != "python":
+        nat = _native_engine()
+        if nat is None and engine == "native":
+            raise RuntimeError(
+                "host_prep='native' but the C extension is unavailable")
+        if nat is not None:
+            d, roi, factor = _native_inference_params(
+                nat, bbox, camera, proc_side, tile_side, box_expansion,
+                image.shape)
+            tile = improc.extract_tile_native(
+                image, roi[0], roi[1], roi[2], roi[3], factor, tile_side)
+            return {
+                "source": tile,
+                "warp_h": d["warp_h"],
+                "warp_k": d["_warp_k_rebased"],
+                "warp_dist": d["warp_dist"],
+                "intrinsics": d["intrinsics"],
+                "rot_to_orig": d["rot_to_orig"],
+                "_crop_cam": d["_crop_cam"],
+            }
     crop_cam = make_crop_camera(camera, bbox, proc_side, box_expansion)
     tile, offset, factor = extract_source_tile(
         image, crop_cam, camera, proc_side, tile_side
@@ -237,6 +319,135 @@ def prepare_inference_crop(
     }
 
 
+def _native_engine():
+    """The C crop-parameter engine, or None (old extension builds lack it)."""
+    nat = improc._get_native()
+    return nat if nat is not None and hasattr(nat, "crop_params") else None
+
+
+def _aug_device_params(aug: AugParams | None, occ_center, proc_side, tile_side):
+    """Occluder/color parameter arrays shipped to the device augment stage."""
+    if aug is not None:
+        occ_aff = aug.occluder_affine.copy()
+        # place the occluder so crop point occ_center maps to the tile center
+        tcenter = np.array([tile_side / 2.0, tile_side / 2.0])
+        ccenter = np.asarray(occ_center) * proc_side
+        occ_aff[:, 2] = tcenter - occ_aff[:, :2] @ ccenter
+        color = np.array(
+            [aug.brightness, aug.contrast, aug.saturation, aug.hue], np.float32
+        )
+        occ = np.array(
+            [1.0 if aug.occlude else 0.0, float(aug.occluder_index)], np.float32
+        )
+    else:
+        occ_aff = np.array([[1.0, 0, 1e6], [0, 1.0, 1e6]])  # off-tile = no-op
+        color = np.array([0.0, 1.0, 1.0, 0.0], np.float32)
+        occ = np.array([0.0, 0.0], np.float32)
+    return occ_aff, color, occ
+
+
+def _mask_outputs(example: Example, aug: AugParams | None, roi, factor, tile_side):
+    """Foreground-mask tile + bg params for green-screen replacement.
+
+    All-foreground when the example carries no mask, which makes the device
+    composite an exact no-op."""
+    if example.mask is not None and aug is not None and aug.bg_enabled:
+        m = example.mask.astype(np.uint8) * 255
+        x0, y0, x1, y1 = roi
+        mask_tile = improc.extract_tile_native(
+            m, x0, y0, x1, y1, int(factor), tile_side
+        )
+        bg = np.array([1.0, float(aug.bg_index)], np.float32)
+    else:
+        mask_tile = np.full((tile_side, tile_side), 255, np.uint8)
+        bg = np.array([0.0, 0.0], np.float32)
+    return mask_tile, bg
+
+
+_NBASE = 40  # doubles before the per-joint GT blocks (croprep.c layout)
+
+
+def _prepare_example_native(
+    nat,
+    example: Example,
+    joint_info: JointInfo,
+    proc_side: int,
+    tile_side: int,
+    aug: AugParams | None,
+    occ_center,
+    box_expansion: float,
+    with_background: bool,
+) -> dict:
+    """`prepare_example` through the C engine (native/croprep.c).
+
+    One extension call replaces the whole numpy camera/GT chain; parity with
+    the Python engine is ~1e-12 relative (tests/test_native_prep.py). Tile
+    and mask extraction reuse the existing native extract_tile path."""
+    cam = example.camera
+    camb = np.empty(29, np.float64)
+    camb[0:9] = cam.K.ravel()
+    camb[9:18] = cam.R.ravel()
+    camb[18:21] = cam.t
+    camb[21:26] = cam.dist
+    camb[26:29] = cam.world_up
+    j = joint_info.n_joints
+    if example.world_coords is not None:
+        mode = 0
+        coords = np.ascontiguousarray(example.world_coords, np.float64)
+        is_3d = 1.0
+    else:
+        mode = 1
+        coords = np.ascontiguousarray(example.image_coords, np.float64)
+        is_3d = 0.0
+    valid_in = (
+        np.ascontiguousarray(example.joint_validity, np.uint8)
+        if example.joint_validity is not None
+        else np.ones(j, np.uint8)
+    )
+    mirror = np.ascontiguousarray(joint_info.mirror_mapping, np.int32)
+    if aug is not None:
+        shift, scale, rot_rad, flip = aug.shift, aug.scale, aug.rot_rad, aug.flip
+    else:
+        shift, scale, rot_rad, flip = (0.0, 0.0), 1.0, 0.0, False
+    h, w = example.image.shape[:2]
+    out, x0, y0, x1, y1, factor = nat.crop_params(
+        camb,
+        np.ascontiguousarray(np.asarray(example.bbox, np.float64)),
+        int(proc_side), int(tile_side), int(w), int(h),
+        float(box_expansion), float(shift[0]), float(shift[1]),
+        float(scale), float(rot_rad), int(bool(flip)), mode, j,
+        coords, valid_in, mirror,
+    )
+    p = np.frombuffer(out, np.float64)
+    tile = improc.extract_tile_native(
+        example.image, x0, y0, x1, y1, factor, tile_side
+    )
+    occ_aff, color, occ = _aug_device_params(aug, occ_center, proc_side, tile_side)
+    g = _NBASE
+    result = {
+        "source": tile,
+        "warp_h": p[0:9].reshape(3, 3).astype(np.float32),
+        "warp_k": p[9:13].astype(np.float32),
+        "warp_dist": p[13:18].astype(np.float32),
+        "coords3d_true": p[g : g + 3 * j].reshape(j, 3).astype(np.float32),
+        "coords2d_true": p[g + 3 * j : g + 5 * j].reshape(j, 2).astype(np.float32),
+        "joint_validity": p[g + 5 * j : g + 6 * j].astype(np.float32),
+        "joint_validity_2d": p[g + 6 * j : g + 7 * j].astype(np.float32),
+        "is_3d": np.float32(is_3d),
+        "intrinsics": p[18:27].reshape(3, 3).astype(np.float32),
+        "color_params": color,
+        "occ_params": occ,
+        "occ_affine": occ_aff.astype(np.float32),
+    }
+    if with_background:
+        mask_tile, bg = _mask_outputs(
+            example, aug, (x0, y0, x1, y1), factor, tile_side
+        )
+        result["source_mask"] = mask_tile
+        result["bg_params"] = bg
+    return result
+
+
 def prepare_example(
     example: Example,
     joint_info: JointInfo,
@@ -246,11 +457,29 @@ def prepare_example(
     occ_center=(0.5, 0.5),
     box_expansion: float = 1.0,
     with_background: bool = False,
+    engine: str = "python",
 ) -> dict:
     """Full host-side preparation of one example -> dict of small arrays.
 
     With `aug=None` this is the deterministic test-time path (SURVEY.md §4.2).
+    `engine` selects the parameter math: "python" (numpy; the golden-pinned
+    default), "native" (C engine, ~1e-12-equivalent, fails loud if the
+    extension is unavailable), or "auto" (native when built, else python).
     """
+    if engine not in ("python", "native", "auto"):
+        raise ValueError(f"unknown prepare engine {engine!r}")
+    if engine != "python":
+        nat = _native_engine()
+        if nat is None:
+            if engine == "native":
+                raise RuntimeError(
+                    "data.host_prep='native' but the C extension is unavailable"
+                )
+        else:
+            return _prepare_example_native(
+                nat, example, joint_info, proc_side, tile_side,
+                aug, occ_center, box_expansion, with_background,
+            )
     if aug is not None:
         crop_cam = make_crop_camera(
             example.camera, example.bbox, proc_side, box_expansion,
@@ -303,22 +532,7 @@ def prepare_example(
         valid3d = valid3d[m]
         valid2d = valid2d[m]
 
-    if aug is not None:
-        occ_aff = aug.occluder_affine.copy()
-        # place the occluder so crop point occ_center maps to the tile center
-        tcenter = np.array([tile_side / 2.0, tile_side / 2.0])
-        ccenter = np.asarray(occ_center) * proc_side
-        occ_aff[:, 2] = tcenter - occ_aff[:, :2] @ ccenter
-        color = np.array(
-            [aug.brightness, aug.contrast, aug.saturation, aug.hue], np.float32
-        )
-        occ = np.array(
-            [1.0 if aug.occlude else 0.0, float(aug.occluder_index)], np.float32
-        )
-    else:
-        occ_aff = np.array([[1.0, 0, 1e6], [0, 1.0, 1e6]])  # off-tile = no-op
-        color = np.array([0.0, 1.0, 1.0, 0.0], np.float32)
-        occ = np.array([0.0, 0.0], np.float32)
+    occ_aff, color, occ = _aug_device_params(aug, occ_center, proc_side, tile_side)
 
     out = {
         "source": tile,
@@ -337,20 +551,8 @@ def prepare_example(
     }
     if with_background:
         # foreground mask in TILE space for green-screen bg replacement
-        # (3DHP FGmasks); all-foreground when the example carries no mask,
-        # which makes the device composite an exact no-op.
-        if example.mask is not None and aug is not None and aug.bg_enabled:
-            m3 = np.repeat(
-                (example.mask.astype(np.uint8) * 255)[..., None], 3, axis=2
-            )
-            x0, y0, x1, y1 = roi_out[0]
-            mask_tile = improc.extract_tile_native(
-                m3, x0, y0, x1, y1, int(factor), tile_side
-            )[..., 0]
-            bg = np.array([1.0, float(aug.bg_index)], np.float32)
-        else:
-            mask_tile = np.full((tile_side, tile_side), 255, np.uint8)
-            bg = np.array([0.0, 0.0], np.float32)
+        # (3DHP FGmasks)
+        mask_tile, bg = _mask_outputs(example, aug, roi_out[0], factor, tile_side)
         out["source_mask"] = mask_tile
         out["bg_params"] = bg
     return out

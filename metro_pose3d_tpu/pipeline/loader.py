@@ -82,22 +82,28 @@ def prepare_one(
     n_occluders: int,
     box_expansion: float = 1.0,
     n_backgrounds: int = 0,
+    engine: str = "python",
 ) -> dict:
     """Deterministic single-example prep (aug_cfg=None -> test-time path).
 
     `n_backgrounds` > 0 activates green-screen background replacement: the
     prepared dict gains "source_mask"/"bg_params" (all batches of a loader
-    must agree, so this is a loader-level switch, not per-example)."""
+    must agree, so this is a loader-level switch, not per-example).
+    `engine` selects the crop-parameter math (config `data.host_prep`):
+    "python" numpy (golden-pinned default) or "native" C (production hosts;
+    the rng draws are identical either way, results agree to ~1e-12)."""
     if aug_cfg is None:
         return prepare_example(
             example, joint_info, proc_side, tile_side, aug=None,
             box_expansion=box_expansion, with_background=n_backgrounds > 0,
+            engine=engine,
         )
     rng = np.random.default_rng(rng_key)
     aug, occ_center = sample_aug_params(rng, aug_cfg, n_occluders, n_backgrounds)
     return prepare_example(
         example, joint_info, proc_side, tile_side, aug=aug, occ_center=occ_center,
         box_expansion=box_expansion, with_background=n_backgrounds > 0,
+        engine=engine,
     )
 
 
@@ -165,18 +171,20 @@ def _patch_spawn_env() -> Callable[[], None]:
 
 
 def _init_worker(get_example, joint_info, proc_side, tile_side, aug_cfg,
-                 n_occluders, box_expansion, n_backgrounds):
+                 n_occluders, box_expansion, n_backgrounds, engine):
     _WORKER_STATE["args"] = (get_example, joint_info, proc_side, tile_side,
-                             aug_cfg, n_occluders, box_expansion, n_backgrounds)
+                             aug_cfg, n_occluders, box_expansion, n_backgrounds,
+                             engine)
 
 
 def _prep_in_worker(task):
     i, rng_key = task
     (get_example, joint_info, proc_side, tile_side, aug_cfg,
-     n_occluders, box_expansion, n_backgrounds) = _WORKER_STATE["args"]
+     n_occluders, box_expansion, n_backgrounds, engine) = _WORKER_STATE["args"]
     ex = get_example(int(i))
     return prepare_one(ex, joint_info, proc_side, tile_side, aug_cfg,
-                       rng_key, n_occluders, box_expansion, n_backgrounds)
+                       rng_key, n_occluders, box_expansion, n_backgrounds,
+                       engine=engine)
 
 
 def batch_iterator(
@@ -199,6 +207,7 @@ def batch_iterator(
     skip_batches: int = 0,
     n_occluders: int = 1,
     pool_type: str = "thread",
+    host_prep: str = "python",
 ) -> Iterator[dict]:
     """Stream batched host-prepared examples, epoch after epoch.
 
@@ -223,7 +232,7 @@ def batch_iterator(
             mp_context=multiprocessing.get_context("spawn"),
             initializer=_init_worker,
             initargs=(get_example, joint_info, proc_side, tile_side, aug_cfg,
-                      n_occluders, box_expansion, n_backgrounds),
+                      n_occluders, box_expansion, n_backgrounds, host_prep),
         )
     elif pool_type == "thread":
         pool = _futures.ThreadPoolExecutor(max_workers=max(n_workers, 1))
@@ -251,7 +260,7 @@ def batch_iterator(
                     return prepare_one(
                         ex, joint_info, proc_side, tile_side, aug_cfg,
                         (seed, epoch, int(i)), n_occluders, box_expansion,
-                        n_backgrounds,
+                        n_backgrounds, engine=host_prep,
                     )
 
                 def prep_map(chunk):

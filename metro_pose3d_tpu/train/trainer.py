@@ -57,6 +57,7 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0,
         host_id=jax.process_index(), host_count=nproc,
         n_backgrounds=n_backgrounds, skip_batches=skip_batches,
         n_occluders=n_occluders, pool_type=cfg.data.pool_type,
+        host_prep=cfg.data.host_prep,
     )
     if dataset2d is None or cfg.train.batch_size_2d == 0:
         yield from it3d
@@ -77,6 +78,7 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0,
             host_id=jax.process_index(), host_count=jax.process_count(),
             n_backgrounds=n_backgrounds, skip_batches=skip_batches,
             n_occluders=n_occluders, pool_type=cfg.data.pool_type,
+            host_prep=cfg.data.host_prep,
         )
         yield from it
 

@@ -144,34 +144,39 @@ def imread_cached(path: str) -> np.ndarray:
 
 
 def extract_tile_native(img: np.ndarray, x0, y0, x1, y1, factor, tile_side):
-    """ROI slice + integer-area decimation + zero pad -> [T, T, 3] uint8.
+    """ROI slice + integer-area decimation + zero pad -> [T, T, C] uint8.
 
+    `img` may be HxWx3 (RGB) or HxW (single-channel masks: returns [T, T]).
     Native when available; numpy fallback is exact for factor==1 and
     averages full factor x factor blocks otherwise (same as the C path).
     """
     nat = _get_native()
     img = np.ascontiguousarray(img, np.uint8)
     h, w = img.shape[:2]
+    gray = img.ndim == 2
+    ch = 1 if gray else img.shape[2]
     if nat is not None:
         # pass the contiguous ndarray directly: the extension's 'y*' arg
         # format takes any C-contiguous buffer, so no tobytes() frame copy
         buf = nat.extract_tile(img, h, w, int(x0), int(y0),
-                               int(x1), int(y1), int(factor), int(tile_side))
-        return np.frombuffer(buf, np.uint8).reshape(tile_side, tile_side, 3).copy()
-    tile = np.zeros((tile_side, tile_side, 3), np.uint8)
-    roi = img[y0:y1, x0:x1]
+                               int(x1), int(y1), int(factor), int(tile_side),
+                               ch)
+        out = np.frombuffer(buf, np.uint8).reshape(tile_side, tile_side, ch)
+        return out[..., 0].copy() if gray else out.copy()
+    tile = np.zeros((tile_side, tile_side, ch), np.uint8)
+    roi = img[y0:y1, x0:x1].reshape(max(y1 - y0, 0), max(x1 - x0, 0), ch)
     if roi.size:
         if factor > 1:
             oh, ow = roi.shape[0] // factor, roi.shape[1] // factor
             oh, ow = max(oh, 1), max(ow, 1)
             r = roi[: oh * factor, : ow * factor].reshape(
-                oh, factor, ow, factor, 3
+                oh, factor, ow, factor, ch
             )
             roi = ((r.sum((1, 3), dtype=np.uint32) + factor * factor // 2)
                    // (factor * factor)).astype(np.uint8)
         roi = roi[:tile_side, :tile_side]
         tile[: roi.shape[0], : roi.shape[1]] = roi
-    return tile
+    return tile[..., 0] if gray else tile
 
 
 def white_balance(img: np.ndarray, strength: float = 1.0) -> np.ndarray:

@@ -57,15 +57,31 @@ def main():
 
     # --- crop preparation (image already decoded, as in a frame cache) ----
     ex = make_example(0, imshape=(1000, 1000))
-    prepare_example(ex, H36M_17, 256, 512)  # warm
-    t0 = time.perf_counter()
-    for i in range(args.n):
-        prepare_example(ex, H36M_17, 256, 512)
-    dt = time.perf_counter() - t0
-    print(json.dumps({
-        "stage": "prepare_example", "per_sec": round(args.n / dt, 1),
-        "ms_each": round(dt / args.n * 1000, 2),
-    }))
+    from metro_pose3d_tpu.pipeline.crops import _native_engine, sample_aug_params
+    from metro_pose3d_tpu.config import Config
+
+    engines = ["python"] + (["native"] if _native_engine() else [])
+    aug_cfg = Config().aug
+    for engine in engines:
+        prepare_example(ex, H36M_17, 256, 512, engine=engine)  # warm
+        t0 = time.perf_counter()
+        for i in range(args.n):
+            prepare_example(ex, H36M_17, 256, 512, engine=engine)
+        dt = time.perf_counter() - t0
+        rng = np.random.default_rng(0)
+        t1 = time.perf_counter()
+        for i in range(args.n):
+            aug, occ = sample_aug_params(rng, aug_cfg, 100, 10)
+            prepare_example(ex, H36M_17, 256, 512, aug=aug, occ_center=occ,
+                            engine=engine)
+        dt_aug = time.perf_counter() - t1
+        print(json.dumps({
+            "stage": "prepare_example", "engine": engine,
+            "per_sec": round(args.n / dt, 1),
+            "ms_each": round(dt / args.n * 1000, 2),
+            "aug_per_sec": round(args.n / dt_aug, 1),
+            "aug_ms_each": round(dt_aug / args.n * 1000, 2),
+        }))
 
 
 if __name__ == "__main__":
