@@ -246,11 +246,21 @@ static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
   }
   if (out_w > tile_side) out_w = tile_side;
   if (out_h > tile_side) out_h = tile_side;
-  const int f2 = factor * factor;
+  /* Effective block side per axis: when a clamped ROI dimension is smaller
+   * than `factor` the output dim was forced to 1 above; average only the
+   * by x bx pixels that exist inside the ROI (matches the numpy engine's
+   * truncated slice) instead of reading `factor` rows/cols past y1/x1 —
+   * that read went past the image buffer for edge-touching ROIs. When the
+   * ROI covers full blocks, by == bx == factor and nothing changes. */
+  const int by = (out_h > 0 && roi_h < factor) ? roi_h : factor;
+  const int bx = (out_w > 0 && roi_w < factor) ? roi_w : factor;
+  const int f2 = by * bx;
+  int done = 0;
   if (factor == 1) {
     for (int oy = 0; oy < out_h; oy++)
       memcpy(dst + (size_t)oy * tile_side * ch,
              src + ((size_t)(y0 + oy) * w + x0) * ch, (size_t)out_w * ch);
+    done = 1;
   } else if (factor <= 16) {
     /* three-pass decimation, all passes vectorizable: (1) vertical
      * u8->u16 row sums (contiguous adds), (2) horizontal group sums with
@@ -258,23 +268,23 @@ static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
      * common block sizes specialized so the compiler emits vector
      * magic-multiplies. Same integer accumulation and rounding as the
      * naive f x f loop (byte-exact). u16 is safe: f*f*255 <= 65280. */
-    const size_t row_elems = (size_t)out_w * factor * ch;
+    const size_t row_elems = (size_t)out_w * bx * ch;
     const int n_res = out_w * ch;
     uint16_t *tmp =
         (uint16_t *)malloc((row_elems + (size_t)n_res) * sizeof(uint16_t));
-    if (tmp) {
+    if (tmp) { /* on malloc failure fall through to the scratch-free loop */
       uint16_t *res = tmp + row_elems;
-      const int fc = factor * ch;
+      const int fc = bx * ch;
       for (int oy = 0; oy < out_h; oy++) {
         memset(tmp, 0, row_elems * sizeof(uint16_t));
-        for (int fy = 0; fy < factor; fy++) {
+        for (int fy = 0; fy < by; fy++) {
           const uint8_t *restrict p =
               src + ((size_t)(y0 + oy * factor + fy) * w + x0) * ch;
           uint16_t *restrict a = tmp;
           for (size_t i = 0; i < row_elems; i++) a[i] += p[i];
         }
         memset(res, 0, (size_t)n_res * sizeof(uint16_t));
-        for (int fx = 0; fx < factor; fx++) {
+        for (int fx = 0; fx < bx; fx++) {
           const uint16_t *restrict s = tmp + (size_t)fx * ch;
           uint16_t *restrict r = res;
           for (int ox = 0; ox < out_w; ox++)
@@ -298,22 +308,24 @@ static PyObject *py_extract_tile(PyObject *self, PyObject *args) {
         }
       }
       free(tmp);
+      done = 1;
     }
-  } else {
+  }
+  if (!done && factor > 1) {
     for (int oy = 0; oy < out_h; oy++) {
       uint8_t *drow = dst + (size_t)oy * tile_side * ch;
       for (int ox = 0; ox < out_w; ox++) {
         unsigned int acc[4] = {0, 0, 0, 0};
-        for (int fy = 0; fy < factor; fy++) {
+        for (int fy = 0; fy < by; fy++) {
           const uint8_t *p =
               src +
               ((size_t)(y0 + oy * factor + fy) * w + x0 + ox * factor) * ch;
-          for (int fx = 0; fx < factor; fx++) {
+          for (int fx = 0; fx < bx; fx++) {
             for (int c = 0; c < ch; c++) acc[c] += p[c];
             p += ch;
           }
         }
-        for (int c = 0; c < ch; c++)
+        for (int c = 0; c < 4 && c < ch; c++)
           drow[ox * ch + c] = (uint8_t)((acc[c] + f2 / 2) / f2);
       }
     }

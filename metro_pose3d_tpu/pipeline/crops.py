@@ -235,6 +235,8 @@ def prepare_inference_crop_params(
     """Host prep for one detector box in FRAME MODE: warp parameters in
     full-frame pixel coordinates (no source-tile extraction — the device
     samples the shared frame directly via `ops.warp.warp_from_frame`)."""
+    if engine not in ("python", "native", "auto"):
+        raise ValueError(f"unknown prepare engine {engine!r}")
     if engine != "python":
         nat = _native_engine()
         if nat is None and engine == "native":
@@ -282,6 +284,8 @@ def prepare_inference_crop(
     camera back to the ORIGINAL camera frame (both share the optical center,
     so absolute poses transform by pure rotation).
     """
+    if engine not in ("python", "native", "auto"):
+        raise ValueError(f"unknown prepare engine {engine!r}")
     if engine != "python":
         nat = _native_engine()
         if nat is None and engine == "native":

@@ -164,16 +164,21 @@ def extract_tile_native(img: np.ndarray, x0, y0, x1, y1, factor, tile_side):
         out = np.frombuffer(buf, np.uint8).reshape(tile_side, tile_side, ch)
         return out[..., 0].copy() if gray else out.copy()
     tile = np.zeros((tile_side, tile_side, ch), np.uint8)
-    roi = img[y0:y1, x0:x1].reshape(max(y1 - y0, 0), max(x1 - x0, 0), ch)
+    roi = img[y0:y1, x0:x1]
+    roi = roi.reshape(*roi.shape[:2], ch)  # robust to a clipped/empty slice
     if roi.size:
         if factor > 1:
             oh, ow = roi.shape[0] // factor, roi.shape[1] // factor
             oh, ow = max(oh, 1), max(ow, 1)
-            r = roi[: oh * factor, : ow * factor].reshape(
-                oh, factor, ow, factor, ch
-            )
-            roi = ((r.sum((1, 3), dtype=np.uint32) + factor * factor // 2)
-                   // (factor * factor)).astype(np.uint8)
+            # effective per-axis block side: a ROI dimension thinner than
+            # `factor` still yields one output row/col, averaged over the
+            # pixels that exist (the C engine mirrors this exactly)
+            by = factor if roi.shape[0] >= factor else roi.shape[0]
+            bx = factor if roi.shape[1] >= factor else roi.shape[1]
+            r = roi[: oh * by, : ow * bx].reshape(oh, by, ow, bx, ch)
+            n = by * bx
+            roi = ((r.sum((1, 3), dtype=np.uint32) + n // 2)
+                   // n).astype(np.uint8)
         roi = roi[:tile_side, :tile_side]
         tile[: roi.shape[0], : roi.shape[1]] = roi
     return tile[..., 0] if gray else tile

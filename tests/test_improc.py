@@ -77,6 +77,56 @@ class TestExtractTile:
         assert np.all(tile[:50, :60] == 200)
         assert np.all(tile[50:] == 0) and np.all(tile[:, 60:] == 0)
 
+    @pytest.mark.parametrize(
+        "roi",
+        [
+            (56, 46, 60, 50),   # 4x4 ROI touching the bottom-right corner
+            (0, 47, 60, 50),    # 3-row strip on the bottom edge (y-partial)
+            (58, 0, 60, 50),    # 2-col strip on the right edge (x-partial)
+            (59, 49, 60, 50),   # single pixel in the corner
+            (10, 44, 58, 50),   # y-partial but x covers full blocks
+        ],
+    )
+    @pytest.mark.parametrize("factor", [6, 20])  # 3-pass and naive C paths
+    def test_thin_edge_roi_partial_blocks(self, roi, factor):
+        """ADVICE r3 (medium): a clamped ROI dimension smaller than `factor`
+        used to make the C decimation read past y1/x1 — and past the image
+        buffer on edge-touching ROIs. Both engines must now average only the
+        pixels inside the ROI and agree exactly."""
+        rng = np.random.default_rng(factor)
+        img = rng.integers(0, 255, (50, 60, 3)).astype(np.uint8)
+        x0, y0, x1, y1 = roi
+        args = (img, x0, y0, x1, y1, factor, 16)
+        ref = self._numpy_tile(*args)
+        # partial-block semantics: one output row/col averaging the ROI
+        by = min(factor, y1 - y0)
+        bx = min(factor, x1 - x0)
+        blk = img[y0:y0 + by, x0:x0 + bx].astype(np.uint32)
+        want = (blk.sum((0, 1)) + by * bx // 2) // (by * bx)
+        np.testing.assert_array_equal(ref[0, 0], want.astype(np.uint8))
+        if improc.have_native():
+            np.testing.assert_array_equal(improc.extract_tile_native(*args), ref)
+
+    def test_thin_edge_roi_gray_mask(self):
+        """Same contract for single-channel mask tiles (the 3DHP green-screen
+        path feeds masks through the native extractor)."""
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, (50, 60)).astype(np.uint8)
+        args = (img, 57, 47, 60, 50, 8, 16)
+        ref = self._numpy_tile(*args)
+        assert ref.shape == (16, 16)
+        if improc.have_native():
+            np.testing.assert_array_equal(improc.extract_tile_native(*args), ref)
+
+    @staticmethod
+    def _numpy_tile(*args):
+        saved = improc._native
+        improc._native = None
+        try:
+            return improc.extract_tile_native(*args)
+        finally:
+            improc._native = saved
+
 
 class TestPasteOver:
     def test_alpha_composite_and_clipping(self):

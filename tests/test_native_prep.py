@@ -156,6 +156,18 @@ class TestInferencePrepParity:
                                           engine="native")
         assert_dicts_close(a, b)
 
+    def test_unknown_engine_rejected(self):
+        """ADVICE r3: a typo like 'nativ' must raise, not silently behave
+        as 'auto' (same contract as prepare_example)."""
+        ex = make_example(9, imshape=(720, 960))
+        box = np.array([500.0, 220.0, 150.0, 330.0])
+        with pytest.raises(ValueError):
+            prepare_inference_crop(ex.image, box, ex.camera, 256, 512,
+                                   engine="nativ")
+        with pytest.raises(ValueError):
+            prepare_inference_crop_params(box, ex.camera, 256,
+                                          engine="nativ")
+
 
 class TestLoaderEngineEquivalence:
     def test_batch_iterator_engines_agree(self):
