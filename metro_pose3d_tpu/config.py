@@ -192,6 +192,10 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_every: int = 100
     validate_every: int = 10_000
+    # eval batches per in-loop validation pass (caps the examples the
+    # best-checkpoint decision sees; raise at real-dataset scale where a
+    # 4-batch subsample makes `save_if_best` ride a noisy estimate)
+    validate_batches: int = 4
     logdir: str = "/tmp/metro_tpu_runs/default"
     load_path: str = ""             # warm-start checkpoint
     backbone_init: str = ""         # ImageNet-pretrained backbone params

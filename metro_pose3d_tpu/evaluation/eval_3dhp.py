@@ -14,7 +14,7 @@ import numpy as np
 
 from metro_pose3d_tpu.evaluation.metrics import auc, mpjpe, pck, per_group_table, root_align
 from metro_pose3d_tpu.geom.joints import MPI3DHP_EVAL_14_INDICES
-from metro_pose3d_tpu.reference_constants import PCK_THRESHOLD_MM
+from metro_pose3d_tpu.reference_constants import AUC_THRESHOLDS_MM, PCK_THRESHOLD_MM
 
 
 def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
@@ -48,6 +48,10 @@ def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
     if group_key is not None:
         err = np.linalg.norm(pred - gt, axis=-1)
         labels = np.asarray(data[group_key])
+        # per-example PCK-curve samples [N, T] for the AUC column (official
+        # 3DHP tables report PCK@150 AND AUC per activity)
+        ths = np.asarray(AUC_THRESHOLDS_MM, np.float64)
+        curve = err[..., None] <= ths  # [N, J, T]
         if valid is not None:
             v = np.asarray(valid, bool)
             # guarded mean over valid joints; examples with NO valid eval
@@ -55,12 +59,18 @@ def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
             # a nanmean here would emit NaN and poison its activity row
             correct = (np.where(v, err <= PCK_THRESHOLD_MM, 0.0).sum(-1)
                        / np.maximum(v.sum(-1), 1) * 100)
+            auc_ex = (np.where(v[..., None], curve, 0.0).sum(1)
+                      / np.maximum(v.sum(-1), 1)[:, None]).mean(-1) * 100
             has_valid = v.any(-1)
             correct, labels = correct[has_valid], labels[has_valid]
+            auc_ex = auc_ex[has_valid]
         else:
             correct = (err <= PCK_THRESHOLD_MM).mean(-1) * 100
+            auc_ex = curve.mean((1, 2)) * 100
         table, _ = per_group_table(correct, labels)
         result["per_activity_pck"] = table
+        auc_table, _ = per_group_table(auc_ex, labels)
+        result["per_activity_auc"] = auc_table
     return result
 
 

@@ -97,7 +97,7 @@ def mixed_batch_iterator(cfg: Config, dataset, dataset2d=None, n_backgrounds=0,
         yield merged
 
 
-def validate(cfg: Config, variables, dataset, mesh, n_batches=4, predict_fn=None):
+def validate(cfg: Config, variables, dataset, mesh, n_batches=None, predict_fn=None):
     """Quick validation MPJPE on the test split (no dump).
 
     Pass `predict_fn` (built once via `make_dataset_predict_fn`) when calling
@@ -105,6 +105,8 @@ def validate(cfg: Config, variables, dataset, mesh, n_batches=4, predict_fn=None
     `replicate_hosts` keeps multi-host best-checkpoint decisions identical."""
     from metro_pose3d_tpu.evaluation.predict import predict_dataset
 
+    if n_batches is None:
+        n_batches = cfg.train.validate_batches
     n = min(cfg.eval.batch_size * n_batches, dataset.n_test)
     result = predict_dataset(
         cfg, variables, dataset, mesh=mesh, n_examples=n,

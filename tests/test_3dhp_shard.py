@@ -141,6 +141,11 @@ class TestProtocolRehearsal:
                 scores["per_activity_pck"][act], val, rtol=1e-4,
                 err_msg=f"per-activity drift: {act}",
             )
+        for act, val in golden.get("per_activity_auc", {}).items():
+            np.testing.assert_allclose(
+                scores["per_activity_auc"][act], val, rtol=1e-4,
+                err_msg=f"per-activity AUC drift: {act}",
+            )
 
 
 class TestMaskChainFromDisk:
@@ -232,7 +237,7 @@ if __name__ == "__main__":
         scores = {
             k: v for k, v in scores.items()
             if k in ("pck_150", "auc", "mpjpe", "pck_150_univ", "auc_univ",
-                     "mpjpe_univ", "per_activity_pck")
+                     "mpjpe_univ", "per_activity_pck", "per_activity_auc")
         }
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
         with open(GOLDEN_PATH, "w") as f:

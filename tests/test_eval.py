@@ -106,6 +106,10 @@ class TestPredictDump:
         assert set(res["per_activity_pck"]) == {"Walk", "Sit"}
         for v in res["per_activity_pck"].values():
             assert 0 <= v <= 100
+        # the official 3DHP tables carry PCK AND AUC per activity
+        assert set(res["per_activity_auc"]) == {"Walk", "Sit"}
+        for v in res["per_activity_auc"].values():
+            assert 0 <= v <= 100
 
     def test_eval_3dhp_per_activity_legacy_key(self, tmp_path):
         """Old dumps with "activities" still produce the table; values check
@@ -122,6 +126,10 @@ class TestPredictDump:
         res = eval_3dhp(str(tmp_path / "legacy.npz"), joint_subset=np.arange(j))
         expected = (j - 1) / j * 100
         assert res["per_activity_pck"]["A"] == pytest.approx(expected)
+        # AUC: the bad joint misses every threshold (200 > 150), the other
+        # 13 hit all of them (err 0), so per-activity AUC equals the PCK
+        assert res["per_activity_auc"]["A"] == pytest.approx(expected)
+        assert res["per_activity_auc"]["B"] == pytest.approx(expected)
         assert res["per_activity_pck"]["B"] == pytest.approx(expected)
 
 
