@@ -53,10 +53,11 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
         train=False,
     )
     if quantize == "int8":
-        from metro_pose3d_tpu.models.quantize import calibrate
+        from metro_pose3d_tpu.models.quantize import calib_mode, calibrate
         from metro_pose3d_tpu.ops.color import normalize
 
-        calib_model = MetroModel(dataclasses.replace(cfg.model, quantize="calib"))
+        calib_model = MetroModel(dataclasses.replace(
+            cfg.model, quantize=calib_mode(cfg.model)))
         calib_crops = normalize(jnp.asarray(
             rng.randint(0, 256, (2, 32, cfg.model.proc_side,
                                  cfg.model.proc_side, 3)), jnp.float32) / 255.0)

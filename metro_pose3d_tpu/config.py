@@ -61,6 +61,14 @@ class ModelConfig:
     # internally by models/quantize.calibrate). Requires a calibration
     # pass — see models/quantize.py.
     quantize: str = "none"
+    # activation-scale estimator for the calibration pass: "p<pct>" (e.g.
+    # "p99.9": running max of per-batch |x| percentiles) or "absmax"
+    # (running |x| max). Default p99.9: on the frozen H36M shard a few
+    # saturated pixels in ONE calibration batch cost absmax +1.44 mm MPJPE
+    # while p99.9 held at -0.07 mm, and its clean-data delta is -0.20 mm on
+    # a 511 mm protocol (tests/test_h36m_shard.py::TestCalibOutlierShard,
+    # round-4 A/B). Mechanism test: test_quantize.py::TestCalibOutlier.
+    quantize_calib: str = "p99.9"
     # which residual stages quantize ("all" or csv of 1..4, matching the
     # parameter names stage1..stage4; stage4 is the dilated final stage =
     # torchvision's conv5_x): per-shape int8 rates vary 0.28x-3.29x vs bf16

