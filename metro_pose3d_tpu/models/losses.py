@@ -41,11 +41,25 @@ def compute_losses(logits3d, logits2d, batch, cfg: Config, root_index: int = 0):
     valid2d = batch["joint_validity_2d"].astype(jnp.float32)
     is3d = batch["is_3d"].astype(jnp.float32)[:, None]
 
+    # The ROOT row of a root-relative L1 is structurally zero (a - a), but
+    # XLA may materialize the two copies of `a` in different fusions with
+    # different FMA contraction, leaving +/-eps — and d|x|/dx = sign(+/-eps)
+    # = +/-1 instead of 0. The loss VALUE is unaffected (|eps| ~ 1e-7) but
+    # the gradient gains a partitioning-dependent +/-1/(B*J) contribution
+    # per example: measured 3-14%(!) of the total gradient norm varying
+    # across unsharded / 8-device / 2-process compilations of the SAME
+    # batch (round-4 multi-process rehearsal bisect; with the mask the
+    # gradient is partition-stable to 1e-8). Multiplying the error by a
+    # root-excluding mask is forward-identical (the entry was ~0) and kills
+    # the subgradient noise; the validity DENOMINATOR keeps counting the
+    # root row, preserving the reference's loss normalization.
+    root_mask = jnp.ones((gt3d.shape[1],), jnp.float32).at[root_index].set(0.0)
+
     if mcfg.model_class == "metro":
         pose3d_mm, pose2d_px = decode_metro(logits3d, logits2d, mcfg)
         rel_pred = root_relative(pose3d_mm, root_index)
         rel_gt = root_relative(gt3d, root_index)
-        err3d = jnp.abs(rel_pred - rel_gt).mean(-1)  # [B, J], mm
+        err3d = jnp.abs(rel_pred - rel_gt).mean(-1) * root_mask  # [B, J], mm
         # meters keep the loss O(0.1) so Adam defaults behave
         loss3d = _masked_mean(err3d, valid3d * is3d) / 1000.0
     else:  # 2.5D image-aligned baseline
@@ -56,7 +70,9 @@ def compute_losses(logits3d, logits2d, batch, cfg: Config, root_index: int = 0):
         pred_z = (
             pose25d[..., 2] - pose25d[..., root_index : root_index + 1, 2]
         ) / mcfg.box_size_mm
-        err = jnp.abs(pred_xy - gt_xy).mean(-1) + jnp.abs(pred_z - gt_z)
+        # same root-row subgradient hazard in the z term (z - z_root)
+        err = (jnp.abs(pred_xy - gt_xy).mean(-1)
+               + jnp.abs(pred_z - gt_z) * root_mask)
         loss3d = _masked_mean(err, valid3d * is3d)
 
     err2d = jnp.abs(pose2d_px - gt2d).mean(-1) / mcfg.proc_side
