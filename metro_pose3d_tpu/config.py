@@ -155,12 +155,14 @@ class DataConfig:
     # 3x3 algebra is GIL-bound — BASELINE.md puts it at ~4.5 cores/chip at
     # the 5k crops/s target)
     pool_type: str = "thread"
-    # crop-parameter math engine: "python" (numpy; the golden-pinned
-    # default), "native" (C engine in native/croprep.c, ~100x on the
-    # parameter chain — the production-host choice; fails loud when the
-    # extension can't build), "auto" (native when built, else python).
-    # Results agree to ~1e-12 relative; rng draws are engine-independent.
-    host_prep: str = "python"
+    # crop-parameter math engine: "auto" (native C engine when it builds,
+    # else python — the default since round 4: the engine is parity-pinned
+    # to ~1e-12 across 11 tests and 5x the eval feed, so production users
+    # get it without knowing the knob), "native" (fail loud when the
+    # extension can't build), "python" (numpy; golden-generating test
+    # configs pin this explicitly). Results agree to ~1e-12 relative; rng
+    # draws are engine-independent.
+    host_prep: str = "auto"
     test_box_expansion: float = C.TEST_BOX_EXPANSION
     # augmentation asset roots (reference: VOC2012 occluder cutouts, INRIA-
     # style background images for 3DHP green-screen replacement). Empty ->

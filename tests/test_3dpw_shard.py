@@ -40,6 +40,7 @@ OVERRIDES = {
     "model.num_joints": "24",  # SMPL-24 skeleton (3DPW GT)
     "model.compute_dtype": "float32",
     "data.source_side": "128",
+    "data.host_prep": "python",  # goldens pin the numpy engine explicitly
 }
 
 

@@ -39,6 +39,7 @@ OVERRIDES = {
     "model.compute_dtype": "float32",
     "data.source_side": "128",
     "data.workers": "2",
+    "data.host_prep": "python",  # goldens pin the numpy engine explicitly
     "eval.batch_size": "8",
     "eval.flip_tta": "true",
     "eval.reconstruct_absolute": "true",

@@ -187,3 +187,28 @@ class TestLoaderEngineEquivalence:
         assert len(batches["python"]) == len(batches["native"]) == 2
         for bp, bn in zip(batches["python"], batches["native"]):
             assert_dicts_close(bp, bn)
+
+    def test_process_pool_with_native_engine(self):
+        """The production-host combination (data.pool_type="process" +
+        data.host_prep="auto"/"native") must produce the SAME batches as the
+        thread-pool python path: spawn workers build the C extension in
+        their own interpreter and the (seed, epoch, idx) rng contract keeps
+        draws engine- and pool-independent (VERDICT r3 next #7)."""
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.pipeline.loader import batch_iterator
+
+        cfg = Config()
+        ds = SyntheticDataset(n_train=8, n_test=2, imshape=(256, 256))
+
+        def batches(pool, eng):
+            return list(batch_iterator(
+                ds.train_example, 8, ds.joint_info, 4, 128, 256,
+                aug_cfg=cfg.aug, seed=3, n_workers=2, max_epochs=1,
+                pool_type=pool, host_prep=eng,
+            ))
+
+        want = batches("thread", "python")
+        got = batches("process", "native")
+        assert len(got) == len(want) == 2
+        for bp, bn in zip(want, got):
+            assert_dicts_close(bp, bn)
