@@ -76,6 +76,14 @@ class ModelConfig:
     # stage wins everywhere, small-channel 1x1s lose, so a stage policy
     # beats blanket quantization.
     quantize_stages: str = "all"
+    # csv of extra graph pieces to quantize beyond the residual stages:
+    # "stem" (the 7x7/2 input conv) and/or "heads" (the two 1x1 output
+    # convs). Default "": round-3 left these bf16 ("the heads themselves
+    # and the stem stay bf16", models/quantize.py) — the round-4 chip A/B
+    # at the serving shapes decides whether they join the int8 graph
+    # (VERDICT r3 weak #1: the unattempted margin levers on the 5k-TTA
+    # target). Accuracy deltas are pinned on the frozen H36M shard.
+    quantize_extras: str = ""
     # int8: fuse the block-internal dequant+BN+ReLU+requant junctions into
     # one elementwise pass on the int32 accumulator (activations stay int8
     # in HBM between a bottleneck's convs). Identical math to the unfused

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from metro_pose3d_tpu.config import ModelConfig
-from metro_pose3d_tpu.models.resnet import ResNet
+from metro_pose3d_tpu.models.resnet import ResNet, parse_quantize_extras
 from metro_pose3d_tpu.ops.decode import heatmap_to_image, heatmap_to_metric
 from metro_pose3d_tpu.ops.soft_argmax import soft_argmax_2d, soft_argmax_3d
 
@@ -56,20 +56,32 @@ class MetroModel(nn.Module):
             quantize=cfg.quantize,
             quantize_stages=cfg.quantize_stages,
             quantize_fused=cfg.quantize_fused,
+            quantize_extras=cfg.quantize_extras,
             name="backbone",
         )(crops, train)
 
         b, h, w, _ = feats.shape
         j, d = cfg.num_joints, cfg.depth
-        head3d = nn.Conv(
-            j * d, (1, 1), use_bias=True, dtype=dtype, param_dtype=jnp.float32,
-            name="head3d",
-        )(feats)
-        logits3d = head3d.reshape(b, h, w, d, j).astype(jnp.float32)
-        logits2d = nn.Conv(
-            j, (1, 1), use_bias=True, dtype=dtype, param_dtype=jnp.float32,
-            name="head2d",
-        )(feats).astype(jnp.float32)
+        if ("heads" in parse_quantize_extras(cfg.quantize_extras)
+                and cfg.quantize != "none"):
+            # int8 1x1 heads: identical ("kernel", "bias") parameter tree as
+            # nn.Conv, so any checkpoint serves either graph. Their input
+            # (bn_final+ReLU features) is calibrated like the block convs.
+            from metro_pose3d_tpu.models.quantize import QuantConv
+
+            def head(features, name):
+                return QuantConv(
+                    features, (1, 1), use_bias=True, dtype=dtype,
+                    mode=cfg.quantize, name=name,
+                )(feats)
+        else:
+            def head(features, name):
+                return nn.Conv(
+                    features, (1, 1), use_bias=True, dtype=dtype,
+                    param_dtype=jnp.float32, name=name,
+                )(feats)
+        logits3d = head(j * d, "head3d").reshape(b, h, w, d, j).astype(jnp.float32)
+        logits2d = head(j, "head2d").astype(jnp.float32)
         return logits3d, logits2d
 
 

@@ -136,6 +136,16 @@ def _conv_pad(kernel: int, strides: int, dilation: int, mode: str):
     return "SAME"
 
 
+def parse_quantize_extras(extras: str) -> frozenset:
+    """Validate `model.quantize_extras` ("" or csv of stem/heads)."""
+    toks = frozenset(t.strip() for t in extras.split(",") if t.strip())
+    unknown = toks - {"stem", "heads"}
+    if unknown:
+        raise ValueError(
+            f"unknown quantize_extras {sorted(unknown)}; valid: stem, heads")
+    return toks
+
+
 def _make_conv(f, k, s, d, name, use_bias, dtype, conv_padding, quantize,
                out_mode="dequant"):
     """Block conv factory: nn.Conv, or the int8/calibration conv
@@ -385,6 +395,7 @@ class ResNet(nn.Module):
     quantize: str = "none"  # inference-only int8 path (models/quantize.py)
     quantize_stages: str = "all"  # "all" or csv of 1-based stage numbers
     quantize_fused: bool = True  # fused block-internal int8 junctions
+    quantize_extras: str = ""  # csv; "stem" quantizes the 7x7/2 input conv
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -393,8 +404,19 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if self.variant in BASIC_BLOCK else Bottleneck
 
         x = x.astype(self.dtype)
-        x = StemConv(base, dtype=self.dtype, conv_padding=self.conv_padding,
-                     use_bias=self.v2_biases, name="conv_stem")(x)
+        extras = parse_quantize_extras(self.quantize_extras)
+        if "stem" in extras and self.quantize != "none":
+            # Same parameter tree as StemConv ("kernel" [7,7,3,F] + optional
+            # "bias"), so checkpoints stay interchangeable across quantize
+            # modes. The crop input is normalize()'s roughly zero-mean float
+            # (NOT post-ReLU), so symmetric int8 uses the full signed range
+            # here, unlike the effectively-7-bit block activations.
+            x = _make_conv(base, 7, 2, 1, "conv_stem", self.v2_biases,
+                           self.dtype, self.conv_padding, self.quantize)(x)
+        else:
+            x = StemConv(base, dtype=self.dtype,
+                         conv_padding=self.conv_padding,
+                         use_bias=self.v2_biases, name="conv_stem")(x)
         if not self.preact:
             x = nn.relu(
                 make_batch_norm(
