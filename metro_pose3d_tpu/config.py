@@ -179,6 +179,15 @@ class DataConfig:
     # arguments; an explicit argument wins over the config field.
     occluder_root: str = ""
     background_root: str = ""
+    # BENCHMARK AID, off in production (0): pre-prepare this many host
+    # batches once, then cycle them for the whole run. Decouples device-
+    # throughput/stability receipts (e.g. the flagship R50@256 bs512
+    # training run) from this dev box's single host core, which cannot
+    # sustain the live feed at that shape. NOTE: augmentation parameters
+    # are host-sampled per (seed, epoch, idx) and ride in the batch, so
+    # cycling repeats examples WITH their augmentations — fine for
+    # throughput/stability receipts, not for learning-curve fidelity.
+    cycle_batches: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

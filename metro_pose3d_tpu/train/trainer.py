@@ -172,12 +172,31 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     total = min(cfg.train.num_steps, max_steps or cfg.train.num_steps)
     from metro_pose3d_tpu.pipeline.loader import prefetch
 
-    it = prefetch(mixed_batch_iterator(
+    src = mixed_batch_iterator(
         cfg, dataset, dataset2d,
         n_backgrounds=len(bg_bank) if bg_bank is not None else 0,
-        skip_batches=start_step,  # preemption-resume: continue the schedule
+        # preemption-resume: continue the schedule (cycling instead always
+        # materializes the first K batches and keeps phase via start_step)
+        skip_batches=0 if cfg.data.cycle_batches > 0 else start_step,
         n_occluders=n_occluders,
-    ))
+    )
+    if cfg.data.cycle_batches > 0:
+        # benchmark aid (see DataConfig.cycle_batches): materialize K host
+        # batches once, then serve them round-robin; resume keeps phase via
+        # start_step. No prefetch thread needed — batches are resident.
+        buf = [next(src) for _ in range(cfg.data.cycle_batches)]
+        log.info("cycling %d pre-prepared host batches (data.cycle_batches)",
+                 len(buf))
+
+        def _cycle():
+            i = start_step
+            while True:
+                yield buf[i % len(buf)]
+                i += 1
+
+        it = _cycle()
+    else:
+        it = prefetch(src)
     from metro_pose3d_tpu.train.loop import make_lr_schedule
     from metro_pose3d_tpu.utils.writers import MetricWriter
 

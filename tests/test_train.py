@@ -381,3 +381,28 @@ class TestBestCheckpoint:
         # and remembers the metric across restarts
         assert not ckpt2.save_if_best(4, jax.device_get(s3), 160.0)
         assert ckpt2.save_if_best(5, jax.device_get(s3), 140.0)
+
+
+class TestCycleBatches:
+    def test_cycled_run_trains_and_resumes(self, tmp_path):
+        """data.cycle_batches (benchmark aid for device-throughput receipts
+        on a weak host): K pre-prepared host batches cycle round-robin, the
+        run completes, and a resume continues from the checkpoint with the
+        cycle phase derived from start_step (batch at step i is buf[i % K],
+        so the resumed run replays the same schedule a straight run sees)."""
+        from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+        from metro_pose3d_tpu.parallel.mesh import make_mesh
+        from metro_pose3d_tpu.train.trainer import train
+
+        over = {**TINY, "data.cycle_batches": "2",
+                "train.logdir": str(tmp_path / "run")}
+        ds = SyntheticDataset(n_train=32, n_test=8, imshape=(256, 256))
+        mesh = make_mesh(4)
+        state = train(apply_overrides(Config(), over), ds, mesh=mesh,
+                      max_steps=4)
+        assert int(state.step) == 4
+
+        over2 = {**over, "train.num_steps": "6"}
+        state2 = train(apply_overrides(Config(), over2), ds, mesh=mesh,
+                       max_steps=6)
+        assert int(state2.step) == 6
