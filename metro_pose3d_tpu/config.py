@@ -188,6 +188,12 @@ class DataConfig:
     # cycling repeats examples WITH their augmentations — fine for
     # throughput/stability receipts, not for learning-curve fidelity.
     cycle_batches: int = 0
+    # synthetic-dataset split sizes (data.dataset="synthetic" only): the
+    # procedural dataset is generated per (seed, index), so the split sizes
+    # are free parameters; CLI-reachable so flagship-scale receipts (e.g.
+    # R50@256 bs512) can draw enough distinct examples per cycled batch.
+    synthetic_n_train: int = 512
+    synthetic_n_test: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

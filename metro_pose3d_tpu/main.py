@@ -20,6 +20,20 @@ import sys
 import jax
 
 
+def _get_dataset(cfg, name):
+    """Dataset from the registry, with config-reachable constructor knobs.
+
+    The synthetic dataset is procedural, so its split sizes are config
+    fields (`data.synthetic_n_train/n_test`) rather than disk facts."""
+    from metro_pose3d_tpu.data import get_dataset
+
+    kwargs = {}
+    if name == "synthetic":
+        kwargs = dict(n_train=cfg.data.synthetic_n_train,
+                      n_test=cfg.data.synthetic_n_test)
+    return get_dataset(name, cfg.data.data_root, **kwargs)
+
+
 def _load_variables(cfg, dataset=None):
     import dataclasses
 
@@ -69,12 +83,11 @@ def main(argv=None):
     apply_matmul_precision(cfg)
 
     if "--train" in modes:
-        from metro_pose3d_tpu.data import get_dataset
         from metro_pose3d_tpu.train.trainer import train
 
-        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        dataset = _get_dataset(cfg, cfg.data.dataset)
         dataset2d = (
-            get_dataset(cfg.data.dataset_2d, cfg.data.data_root)
+            _get_dataset(cfg, cfg.data.dataset_2d)
             if cfg.data.dataset_2d
             else None
         )
@@ -82,13 +95,12 @@ def main(argv=None):
         return 0
 
     if "--test" in modes:
-        from metro_pose3d_tpu.data import get_dataset
         from metro_pose3d_tpu.evaluation.predict import (
             _check_joint_count, predict_dataset, save_predictions,
         )
         from metro_pose3d_tpu.parallel.mesh import make_mesh
 
-        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        dataset = _get_dataset(cfg, cfg.data.dataset)
         # before _load_variables: int8 calibration costs minutes of chip
         # time, and a skeleton mismatch must fail before it, not after
         _check_joint_count(cfg, dataset.joint_info)
@@ -119,12 +131,11 @@ def main(argv=None):
 
     if "--test-multiperson" in modes:
         # frame-wise multi-person prediction (BASELINE config 5, e.g. 3DPW)
-        from metro_pose3d_tpu.data import get_dataset
         from metro_pose3d_tpu.evaluation.predict import (
             _check_joint_count, predict_multiperson_dataset, save_predictions,
         )
 
-        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        dataset = _get_dataset(cfg, cfg.data.dataset)
         _check_joint_count(cfg, dataset.joint_info)  # before calibration
         result = predict_multiperson_dataset(
             cfg, _load_variables(cfg, dataset), dataset)
@@ -136,10 +147,9 @@ def main(argv=None):
     if "--eval-truncation" in modes:
         import json
 
-        from metro_pose3d_tpu.data import get_dataset
         from metro_pose3d_tpu.evaluation.truncation import evaluate_truncation
 
-        dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+        dataset = _get_dataset(cfg, cfg.data.dataset)
         table = evaluate_truncation(cfg, _load_variables(cfg, dataset), dataset)
         print(json.dumps(table, indent=2))
         return 0
@@ -152,9 +162,7 @@ def main(argv=None):
         if cfg.model.quantize == "int8":
             # int8 bundles ship calibrated activation scales, from the
             # dataset's deterministic eval crops (models/quantize.py)
-            from metro_pose3d_tpu.data import get_dataset
-
-            dataset = get_dataset(cfg.data.dataset, cfg.data.data_root)
+            dataset = _get_dataset(cfg, cfg.data.dataset)
         variables = _load_variables(cfg, dataset)
         export_model(cfg, variables, export[0].split("=", 1)[1])
         return 0

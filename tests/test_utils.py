@@ -54,6 +54,18 @@ class TestConfigCli:
         assert cfg.eval.flip_tta is False
         assert rest == ["--train", "positional"]
 
+    def test_synthetic_sizes_reach_dataset(self):
+        # data.synthetic_n_train/n_test must flow from the CLI into the
+        # procedural dataset's split sizes (flagship receipts need more
+        # distinct examples per cycled batch than the 512 default)
+        from metro_pose3d_tpu.main import _get_dataset
+
+        cfg, _ = parse_cli([
+            "--data.synthetic_n_train=96", "--data.synthetic_n_test=24",
+        ])
+        ds = _get_dataset(cfg, "synthetic")
+        assert (ds.n_train, ds.n_test) == (96, 24)
+
     def test_unknown_field_rejected(self):
         with pytest.raises(ValueError, match="unknown config field"):
             apply_overrides(Config(), {"model.nope": "1"})
