@@ -129,7 +129,11 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     os.makedirs(cfg.train.logdir, exist_ok=True)
     with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
         f.write(config_to_json(cfg))
-    logging.basicConfig(level=logging.INFO)
+    # force=True: absl/TF imports install a root handler at interpreter
+    # start, which turns a plain basicConfig into a silent no-op — the
+    # trainer's INFO progress lines then never reach the CLI (found by the
+    # round-4 flagship-receipt rehearsal: the run was healthy but mute)
+    logging.basicConfig(level=logging.INFO, force=True)
 
     mesh = mesh or make_mesh()
     repl = replicated_sharding(mesh)
