@@ -96,7 +96,8 @@ def _calibrated(cfg, variables, rng):
 
 def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
          quantize: str = "none", quantize_fused: bool = True,
-         single_mode: bool = False, quantize_extras: str = ""):
+         single_mode: bool = False, quantize_extras: str = "",
+         quantize_1x1_dot: str = "none"):
     # measured sweeps on the v5e: round-1 (2026-08-16) bs256-1024 was flat;
     # round-3 re-sweep (2026-08-18): bs128 7,731 / bs256 7,347 / bs512 7,475
     # crops/s bf16 — and int8 prefers bs128 strongly (10,052 vs 8,414 at
@@ -111,7 +112,7 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
     cfg = Config()
     cfg8 = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, quantize="int8", quantize_fused=quantize_fused,
-        quantize_extras=quantize_extras))
+        quantize_extras=quantize_extras, quantize_1x1_dot=quantize_1x1_dot))
     rng = np.random.RandomState(0)
     model = MetroModel(dataclasses.replace(cfg.model, quantize="none"))
     variables = model.init(
@@ -139,6 +140,8 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
         }
         if quantize_extras:
             out["quantize_extras"] = quantize_extras
+        if quantize_1x1_dot != "none":
+            out["quantize_1x1_dot"] = quantize_1x1_dot
         print(json.dumps(out))
         return crops_per_sec, p50_ms
 
@@ -186,8 +189,10 @@ if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     extras = next((a.split("=", 1)[1] for a in sys.argv[1:]
                    if a.startswith("--extras=")), "")
+    dot1x1 = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                   if a.startswith("--dot1x1=")), "none")
     explicit = (bool(pos) or "--flip-tta" in sys.argv or "--int8" in sys.argv
-                or bool(extras))
+                or bool(extras) or dot1x1 != "none")
     # measured optima (BASELINE round-3 revisit): bs128 for single-pass,
     # bs64 for flip-TTA (the doubled batch then runs the preferred bs128
     # graph; int8 peak is SHARP at 128 — 96: 9.4k, 128: 10.05k, 160: 8.9k,
@@ -200,4 +205,5 @@ if __name__ == "__main__":
         quantize_fused="--no-fused" not in sys.argv,
         single_mode=explicit,
         quantize_extras=extras,
+        quantize_1x1_dot=dot1x1,
     )

@@ -89,6 +89,14 @@ class ModelConfig:
     # in HBM between a bottleneck's convs). Identical math to the unfused
     # graph up to f32 reassociation; calibration always runs unfused.
     quantize_fused: bool = True
+    # int8: emit qualifying pointwise (1x1, unit-stride) convs as reshaped
+    # int8 dot_generals instead of convs — "none" | "all" | "cin>=N".
+    # BIT-EXACT rerouting (same int8xint8->int32 integer sums), so goldens
+    # and calibration never move; purely a throughput knob. Per-shape micro
+    # rates: dot wins up to 1.46x (s5 2048->512) and loses to 0.46x
+    # (s3 512->128) vs the conv emitter — scripts/exp_int8_dot1x1.py;
+    # the end-to-end A/B at the serving shapes decides the default.
+    quantize_1x1_dot: str = "none"
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
     # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:

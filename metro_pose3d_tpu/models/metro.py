@@ -56,6 +56,7 @@ class MetroModel(nn.Module):
             quantize=cfg.quantize,
             quantize_stages=cfg.quantize_stages,
             quantize_fused=cfg.quantize_fused,
+            quantize_1x1_dot=cfg.quantize_1x1_dot,
             quantize_extras=cfg.quantize_extras,
             name="backbone",
         )(crops, train)
@@ -73,6 +74,7 @@ class MetroModel(nn.Module):
                 return QuantConv(
                     features, (1, 1), use_bias=True, dtype=dtype,
                     mode=cfg.quantize, name=name,
+                    dot_1x1=cfg.quantize_1x1_dot,
                 )(feats)
         else:
             def head(features, name):

@@ -92,6 +92,14 @@ class QuantConv(nn.Module):
     mode: str = "int8"  # "int8" | "calib" (absmax) | "calib:<pct>" (e.g.
     #                     "calib:99.9": running max of per-batch percentiles)
     out_mode: str = "dequant"  # "dequant" | "acc" (int8 mode only)
+    # emit qualifying 1x1/stride-1 convs as reshaped int8 dot_generals
+    # instead of conv_general_dilated ("none" | "all" | "cin>=N"). The int8
+    # dot emitter beats the int8 conv emitter on some R50 1x1 shapes (up to
+    # 1.46x on s5 2048->512) and loses on others (0.46x on s3 512->128) —
+    # scripts/exp_int8_dot1x1.py. BIT-EXACT either way: both paths are the
+    # same int8xint8->int32 integer sums (integer addition is associative),
+    # so goldens and calibration are unaffected by the routing.
+    dot_1x1: str = "none"
 
     @nn.compact
     def __call__(self, x, pre_affine=None, pre_relu: bool = True):
@@ -147,11 +155,19 @@ class QuantConv(nn.Module):
             sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # [F]
             swc = jnp.maximum(sw, 1e-12)
             wq = jnp.clip(jnp.round(kernel / swc), -127.0, 127.0).astype(jnp.int8)
-            acc = lax.conv_general_dilated(
-                xq, wq, self.strides, self.padding,
-                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
-                preferred_element_type=jnp.int32,
-            )
+            if dot_1x1_applies(self.dot_1x1, self.kernel_size, self.strides,
+                               self.kernel_dilation, cin):
+                acc = lax.dot_general(
+                    xq.reshape(-1, cin), wq.reshape(cin, self.features),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).reshape((*xq.shape[:-1], self.features))
+            else:
+                acc = lax.conv_general_dilated(
+                    xq, wq, self.strides, self.padding,
+                    rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                    preferred_element_type=jnp.int32,
+                )
             if self.out_mode == "acc":
                 if bias is not None:
                     raise ValueError("out_mode='acc' does not support bias")
@@ -160,6 +176,28 @@ class QuantConv(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+def dot_1x1_applies(policy: str, kernel_size, strides, dilation, cin: int) -> bool:
+    """Does `model.quantize_1x1_dot` route this conv through dot_general?
+
+    Only pointwise convs qualify (1x1 kernel, unit stride/dilation — there
+    the conv IS a [B*H*W, Cin] @ [Cin, Cout] matmul, elementwise-identical
+    in int32). Policies: "none", "all", "cin>=N" (per-shape selection from
+    the scripts/exp_int8_dot1x1.py table)."""
+    if policy in ("none", ""):
+        return False
+    if kernel_size != (1, 1) or strides != (1, 1) or dilation != (1, 1):
+        return False
+    if policy == "all":
+        return True
+    if policy.startswith("cin>="):
+        try:
+            return cin >= int(policy[5:])
+        except ValueError as e:
+            raise ValueError(f"bad quantize_1x1_dot threshold {policy!r}") from e
+    raise ValueError(
+        f"unknown quantize_1x1_dot policy {policy!r}; valid: none, all, cin>=N")
 
 
 def calib_mode(model_cfg) -> str:

@@ -147,7 +147,7 @@ def parse_quantize_extras(extras: str) -> frozenset:
 
 
 def _make_conv(f, k, s, d, name, use_bias, dtype, conv_padding, quantize,
-               out_mode="dequant"):
+               out_mode="dequant", dot_1x1="none"):
     """Block conv factory: nn.Conv, or the int8/calibration conv
     (models/quantize.py) with the identical parameter tree."""
     pad = _conv_pad(k, s, d, conv_padding)
@@ -161,7 +161,7 @@ def _make_conv(f, k, s, d, name, use_bias, dtype, conv_padding, quantize,
     return QuantConv(
         features=f, kernel_size=(k, k), strides=(s, s), kernel_dilation=(d, d),
         padding=pad, use_bias=use_bias, dtype=dtype, mode=quantize, name=name,
-        out_mode=out_mode,
+        out_mode=out_mode, dot_1x1=dot_1x1,
     )
 
 
@@ -263,6 +263,7 @@ class Bottleneck(nn.Module):
     quantize: str = "none"  # "none" | "int8" | "calib" (models/quantize.py)
     quantize_fused: bool = True  # int8: fuse dequant+BN+ReLU+requant at the
     #                              block-internal junctions (preact only)
+    quantize_1x1_dot: str = "none"  # pointwise int8 convs as dot_generals
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -273,7 +274,7 @@ class Bottleneck(nn.Module):
         )
         conv = lambda f, k, s, d, name, ub=False, om="dequant": _make_conv(
             f, k, s, d, name, ub, self.dtype, self.conv_padding, self.quantize,
-            out_mode=om,
+            out_mode=om, dot_1x1=self.quantize_1x1_dot,
         )
         out_features = self.features * 4
         change = x.shape[-1] != out_features
@@ -339,6 +340,7 @@ class BasicBlock(nn.Module):
     bn_group_size: int = 0
     quantize: str = "none"
     quantize_fused: bool = True  # accepted for API parity; the basic block
+    quantize_1x1_dot: str = "none"  # parity; basic blocks have no 1x1 convs
     #                              keeps the unfused int8 junctions
 
     @nn.compact
@@ -395,6 +397,7 @@ class ResNet(nn.Module):
     quantize: str = "none"  # inference-only int8 path (models/quantize.py)
     quantize_stages: str = "all"  # "all" or csv of 1-based stage numbers
     quantize_fused: bool = True  # fused block-internal int8 junctions
+    quantize_1x1_dot: str = "none"  # pointwise int8 convs as dot_generals
     quantize_extras: str = ""  # csv; "stem" quantizes the 7x7/2 input conv
 
     @nn.compact
@@ -484,6 +487,7 @@ class ResNet(nn.Module):
                     bn_group_size=self.bn_group_size,
                     quantize=stage_quant,
                     quantize_fused=self.quantize_fused,
+                    quantize_1x1_dot=self.quantize_1x1_dot,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 

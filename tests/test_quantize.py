@@ -309,3 +309,48 @@ class TestQuantizeExtras:
             parse_quantize_extras("stem,head")  # typo for "heads"
         assert parse_quantize_extras("") == frozenset()
         assert parse_quantize_extras("stem, heads") == {"stem", "heads"}
+
+
+class TestDot1x1:
+    """quantize_1x1_dot: pointwise int8 convs as reshaped dot_generals.
+
+    The routing is BIT-EXACT (both emit the same int8xint8->int32 integer
+    sums; integer addition is associative), so the int8 graph's outputs
+    must match bitwise across policies — it is purely a throughput knob
+    (per-shape emitter rates: scripts/exp_int8_dot1x1.py)."""
+
+    def _int8_out(self, policy):
+        rng = np.random.RandomState(0)
+        base = MetroModel(_cfg("none").model)
+        variables = base.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+        calibrated = calibrate(
+            MetroModel(_cfg("calib").model), dict(variables),
+            [_crops(rng) for _ in range(2)])
+        cfg = _cfg("int8")
+        model = MetroModel(dataclasses.replace(
+            cfg.model, quantize_1x1_dot=policy))
+        return model.apply(
+            calibrated, _crops(np.random.RandomState(7)), train=False)
+
+    def test_dot_routing_is_bit_exact(self):
+        l3_conv, l2_conv = self._int8_out("none")
+        l3_dot, l2_dot = self._int8_out("all")
+        assert jnp.array_equal(l3_conv, l3_dot)
+        assert jnp.array_equal(l2_conv, l2_dot)
+
+    def test_threshold_policy_is_bit_exact(self):
+        l3_conv, l2_conv = self._int8_out("none")
+        l3_thr, l2_thr = self._int8_out("cin>=16")
+        assert jnp.array_equal(l3_conv, l3_thr)
+        assert jnp.array_equal(l2_conv, l2_thr)
+
+    def test_bad_policy_rejected(self):
+        from metro_pose3d_tpu.models.quantize import dot_1x1_applies
+
+        with pytest.raises(ValueError, match="quantize_1x1_dot"):
+            dot_1x1_applies("sometimes", (1, 1), (1, 1), (1, 1), 64)
+        with pytest.raises(ValueError, match="threshold"):
+            dot_1x1_applies("cin>=lots", (1, 1), (1, 1), (1, 1), 64)
+        # non-pointwise convs never reroute, whatever the policy
+        assert not dot_1x1_applies("all", (3, 3), (1, 1), (1, 1), 64)
+        assert not dot_1x1_applies("all", (1, 1), (2, 2), (1, 1), 64)
