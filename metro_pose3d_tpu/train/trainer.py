@@ -188,9 +188,17 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         # benchmark aid (see DataConfig.cycle_batches): materialize K host
         # batches once, then serve them round-robin; resume keeps phase via
         # start_step. No prefetch thread needed — batches are resident.
-        buf = [next(src) for _ in range(cfg.data.cycle_batches)]
-        log.info("cycling %d pre-prepared host batches (data.cycle_batches)",
-                 len(buf))
+        # DEVICE-resident: one transfer per batch at setup; the step loop's
+        # put_batch then sees already-sharded arrays and passes them through
+        # (device_put with an identical sharding is a no-op). Without this,
+        # every step re-ships the full global batch host->device — on this
+        # dev box's ~50 MB/s tunnel that is seconds per step for a bs512
+        # source-tile batch, drowning the device rate the knob exists to
+        # measure. K batches cost K * batch-bytes of HBM (~400 MB each at
+        # bs512/source 512): size cycle_batches to the chip's headroom.
+        buf = [put_batch(next(src), mesh) for _ in range(cfg.data.cycle_batches)]
+        log.info("cycling %d pre-prepared device-resident batches "
+                 "(data.cycle_batches)", len(buf))
 
         def _cycle():
             i = start_step
