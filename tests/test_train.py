@@ -406,3 +406,20 @@ class TestCycleBatches:
         state2 = train(apply_overrides(Config(), over2), ds, mesh=mesh,
                        max_steps=6)
         assert int(state2.step) == 6
+
+    def test_put_batch_passthrough_on_resident_batch(self):
+        """The device-resident cycle buffer relies on put_batch being a
+        strict no-op for an already-sharded batch (round 4: without this,
+        every cycled step re-shipped ~400 MB through the dev tunnel). Pin
+        jax's device_put contract: same sharding -> the SAME array object."""
+        import numpy as np
+
+        from metro_pose3d_tpu.parallel.mesh import make_mesh, put_batch
+
+        mesh = make_mesh(8)
+        batch = {"x": np.random.randn(16, 4).astype(np.float32),
+                 "s": np.float32(3.0)}
+        resident = put_batch(batch, mesh)
+        again = put_batch(resident, mesh)
+        assert again["x"] is resident["x"]
+        assert again["s"] is resident["s"]
