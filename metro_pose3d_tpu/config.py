@@ -94,9 +94,13 @@ class ModelConfig:
     # BIT-EXACT rerouting (same int8xint8->int32 integer sums), so goldens
     # and calibration never move; purely a throughput knob. Per-shape micro
     # rates: dot wins up to 1.46x (s5 2048->512) and loses to 0.46x
-    # (s3 512->128) vs the conv emitter — scripts/exp_int8_dot1x1.py;
-    # the end-to-end A/B at the serving shapes decides the default.
-    quantize_1x1_dot: str = "none"
+    # (s3 512->128) vs the conv emitter — scripts/exp_int8_dot1x1.py.
+    # End-to-end same-session chip A/B (2026-08-19, /tmp/ab_dot1x1.log):
+    # no-TTA bs128 none 9,692 / all 9,863 (+1.8%) / cin>=1024 9,659;
+    # TTA bs64 none 4,808 / all 4,905 (+2.0%) / cin>=1024 4,956 (+3.1%);
+    # p50 batch latency drops consistently (47.8->42.2 / 49.8->38.4 ms).
+    # "all" is the default: never materially loses, wins both protocols.
+    quantize_1x1_dot: str = "all"
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
     # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:
