@@ -15,6 +15,25 @@ import orbax.checkpoint as ocp
 from metro_pose3d_tpu.train.state import TrainState
 
 
+def _sharded_template(state_template, sharding):
+    """Template whose arrays carry the restore-target sharding.
+
+    Fresh `model.init`/`tx.init` arrays are UNCOMMITTED, so `device_put`
+    to a mesh-wide sharding works per-process (each process supplies its
+    local copy); orbax then restores into exactly those global shardings.
+    With `sharding=None` under multi-process execution, default to
+    replicated over the standard global mesh — every current caller
+    either replicates (trainer, eval variable loading) or passes its own.
+    """
+    if sharding is None:
+        if jax.process_count() == 1:
+            return state_template
+        from metro_pose3d_tpu.parallel.mesh import make_mesh, replicated_sharding
+
+        sharding = replicated_sharding(make_mesh())
+    return jax.device_put(state_template, sharding)
+
+
 class Checkpointer:
     def __init__(self, logdir: str, keep: int = 3):
         self.dir = os.path.abspath(os.path.join(logdir, "checkpoints"))
@@ -55,28 +74,50 @@ class Checkpointer:
         mgr.save(step, args=ocp.args.StandardSave(state), force=True)
         mgr.wait_until_finished()
         self._best_metric = float(metric)
-        with open(os.path.join(self._best_dir, "best_metric.txt"), "w") as f:
-            f.write(f"{metric}\n")
+        # multi-host: every process calls save() (orbax coordinates, the
+        # primary writes), the comparison above is host-identical because
+        # validation runs replicate_hosts=True — but this plain marker file
+        # must have a single writer
+        if jax.process_index() == 0:
+            with open(os.path.join(self._best_dir, "best_metric.txt"), "w") as f:
+                f.write(f"{metric}\n")
         return True
 
-    def restore_best(self, state_template: TrainState) -> tuple[TrainState, int]:
+    def restore_best(self, state_template: TrainState,
+                     sharding=None) -> tuple[TrainState, int]:
         mgr = self._best()
         step = mgr.latest_step()
         if step is None:
-            return self.restore(state_template)
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+            return self.restore(state_template, sharding=sharding)
+        tpl = _sharded_template(state_template, sharding)
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(tpl))
         return restored, int(step)
 
     def latest_step(self):
         return self.manager.latest_step()
 
-    def restore(self, state_template: TrainState) -> tuple[TrainState, int]:
-        """Restore the latest checkpoint into the template's structure."""
+    def restore(self, state_template: TrainState,
+                sharding=None) -> tuple[TrainState, int]:
+        """Restore the latest checkpoint into the template's structure.
+
+        `sharding`: target sharding for the restored arrays (e.g. the
+        trainer's replicated sharding over its mesh). Orbax restores into
+        the TEMPLATE's shardings; a host-built template restores to
+        committed single-device arrays, and on a pod the later
+        `device_put(state, replicated)` is then a cross-host transfer,
+        which the TPU runtime refuses (found by the round-4 multi-process
+        driver rehearsal — resume crashed with
+        "does not support cross-host device transfers"). Restoring
+        straight into the global sharding avoids any post-hoc transfer.
+        Defaults to replicated-over-the-global-mesh when running
+        multi-process; single-process templates are used as-is.
+        """
         step = self.manager.latest_step()
         if step is None:
             return state_template, 0
+        tpl = _sharded_template(state_template, sharding)
         restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore(state_template)
+            step, args=ocp.args.StandardRestore(tpl)
         )
         return restored, int(step)
 

@@ -126,9 +126,15 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     # --data.background_root); an explicit argument wins
     occluder_root = occluder_root or (cfg.data.occluder_root or None)
     background_root = background_root or (cfg.data.background_root or None)
+    # multi-host: every process runs this loop (identical replicated state
+    # and metrics); plain-file artifacts in the shared logdir get ONE writer.
+    # Orbax saves are the exception — every host calls save() and orbax's
+    # primary-host coordination does the single-writer part.
+    primary = jax.process_index() == 0
     os.makedirs(cfg.train.logdir, exist_ok=True)
-    with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
-        f.write(config_to_json(cfg))
+    if primary:
+        with open(os.path.join(cfg.train.logdir, "config.json"), "w") as f:
+            f.write(config_to_json(cfg))
     # force=True: absl/TF imports install a root handler at interpreter
     # start, which turns a plain basicConfig into a silent no-op — the
     # trainer's INFO progress lines then never reach the CLI (found by the
@@ -141,10 +147,15 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     state = create_train_state(cfg, tx)
 
     ckpt = Checkpointer(cfg.train.logdir, cfg.train.keep_checkpoints)
-    state, start_step = ckpt.restore(state)
+    # shard BEFORE restore: fresh init arrays are uncommitted (device_put
+    # to the mesh works per-process), and restoring into the already-repl
+    # template keeps resumed arrays global — a post-restore device_put of
+    # committed single-device arrays is a cross-host transfer on a pod
+    # (crashed the round-4 multi-process driver rehearsal's resume leg)
+    state = jax.device_put(state, repl)
+    state, start_step = ckpt.restore(state, sharding=repl)
     if start_step:
         log.info("resumed from step %d", start_step)
-    state = jax.device_put(state, repl)
 
     bank_raw = jnp.asarray(
         get_occluder_bank(occluder_root, tile_side=cfg.aug.occluder_tile_side),
@@ -210,9 +221,9 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     else:
         it = prefetch(src)
     from metro_pose3d_tpu.train.loop import make_lr_schedule
-    from metro_pose3d_tpu.utils.writers import MetricWriter
+    from metro_pose3d_tpu.utils.writers import make_metric_writer
 
-    writer = MetricWriter(cfg.train.logdir)
+    writer = make_metric_writer(cfg.train.logdir, primary=primary)
     lr_sched = make_lr_schedule(cfg)
     val_fn = None
     if cfg.train.validate_every and cfg.train.validate_every <= total:
@@ -226,7 +237,8 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     history = []
     # CLI-reachable xprof capture (SURVEY §6 tracing): trace a few
     # steady-state steps, starting past the first compile
-    prof_start = start_step + 3 if cfg.train.profile_steps > 0 else -1
+    prof_start = (start_step + 3
+                  if cfg.train.profile_steps > 0 and primary else -1)
     prof_stop = prof_start + cfg.train.profile_steps
     profiling = False
     for step_i in range(start_step, total):
@@ -278,6 +290,7 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         jax.profiler.stop_trace()
     ckpt.wait()
     writer.close()
-    with open(os.path.join(cfg.train.logdir, "history.json"), "w") as f:
-        json.dump(history, f)
+    if primary:
+        with open(os.path.join(cfg.train.logdir, "history.json"), "w") as f:
+            json.dump(history, f)
     return state

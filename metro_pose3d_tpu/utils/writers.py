@@ -11,6 +11,27 @@ import json
 import os
 
 
+class NullWriter:
+    """No-op MetricWriter for non-primary hosts: on a pod every process runs
+    the trainer loop with identical replicated metrics, but only process 0
+    may write the shared logdir (round-4 multi-process driver rehearsal:
+    unguarded writers raced on history.jsonl)."""
+
+    def write_scalars(self, step: int, scalars: dict):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def make_metric_writer(logdir: str, primary: bool = True):
+    """MetricWriter on the primary host, NullWriter elsewhere."""
+    return MetricWriter(logdir) if primary else NullWriter()
+
+
 class MetricWriter:
     """Thin facade: write_scalars(step, dict) + flush/close."""
 

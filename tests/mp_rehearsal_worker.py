@@ -170,6 +170,48 @@ def run_predict(jax, proc_id: int, n_procs: int, outdir: str):
                    "rows": int(len(result["pose3d_rootrel"]))}, f)
 
 
+def run_driver(jax, proc_id: int, n_procs: int, outdir: str):
+    """The FULL `train()` driver under real multi-process execution
+    (round 4): loader host-sharding, put_batch global assembly, orbax
+    checkpointing with its primary-host coordination, replicated
+    validation + best-checkpoint, primary-only logdir artifacts — then a
+    RESUME leg through the same driver. The step-level rehearsal
+    (`run_train`) proves the math; this proves the production driver."""
+    import dataclasses
+
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    from metro_pose3d_tpu.data.synthetic import SyntheticDataset
+    from metro_pose3d_tpu.parallel.mesh import make_mesh
+    from metro_pose3d_tpu.train.trainer import train
+
+    cfg = _config()
+    logdir = os.path.join(outdir, "driver_run")
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, logdir=logdir, num_steps=6, checkpoint_every=3,
+        validate_every=3, log_every=2, validate_batches=1,
+    ))
+    ds = SyntheticDataset(n_train=32, n_test=8, imshape=(256, 256))
+    mesh = make_mesh()
+    state = train(cfg, ds, mesh=mesh)
+    assert int(state.step) == 6
+
+    # resume leg: same logdir, extended horizon -> restores step 6,
+    # continues to 10 through the real driver
+    cfg2 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, num_steps=10))
+    state2 = train(cfg2, ds, mesh=mesh)
+    assert int(state2.step) == 10
+
+    flat, _ = ravel_pytree(
+        {"params": jax.device_get(state2.params),
+         "batch_stats": jax.device_get(state2.batch_stats)})
+    with open(os.path.join(outdir, f"driver_digest_{proc_id}.json"), "w") as f:
+        json.dump({"sum": float(np.asarray(flat).sum()),
+                   "step": int(state2.step)}, f)
+
+
 def main():
     scenario, proc_id, n_procs, port, devs, outdir = sys.argv[1:7]
     proc_id, n_procs, devs = int(proc_id), int(n_procs), int(devs)
@@ -178,6 +220,8 @@ def main():
         run_train(jax, proc_id, n_procs, outdir)
     elif scenario == "predict":
         run_predict(jax, proc_id, n_procs, outdir)
+    elif scenario == "driver":
+        run_driver(jax, proc_id, n_procs, outdir)
     else:
         raise ValueError(scenario)
     print(f"[{proc_id}] {scenario} done", flush=True)

@@ -206,6 +206,46 @@ class TestMultiProcessTrain:
             assert d["loss0"] == pytest.approx(digests[0]["loss0"], rel=1e-6)
 
 
+class TestMultiProcessDriver:
+    def test_full_train_driver_runs_and_resumes(self, tmp_path):
+        """The FULL `train()` driver (trainer.py) under 2 real processes
+        (round 4): until now only `make_train_step` had multi-process
+        coverage — the driver around it (orbax checkpointing with
+        primary-host coordination, replicated in-loop validation +
+        best-checkpoint decisions, primary-only logdir artifacts, resume
+        through the restore path) had never executed with
+        jax.process_count() > 1."""
+        outdir = str(tmp_path)
+        _spawn_workers("driver", 2, outdir, timeout=600)
+
+        # replicated final state agrees bitwise-level across processes
+        digests = []
+        for i in range(2):
+            with open(os.path.join(outdir, f"driver_digest_{i}.json")) as f:
+                digests.append(json.load(f))
+        assert digests[0]["step"] == digests[1]["step"] == 10
+        np.testing.assert_allclose(
+            digests[0]["sum"], digests[1]["sum"], rtol=1e-6)
+
+        logdir = os.path.join(outdir, "driver_run")
+        # primary-only artifacts exist exactly once and parse
+        with open(os.path.join(logdir, "config.json")) as f:
+            json.load(f)
+        with open(os.path.join(logdir, "history.json")) as f:
+            hist = json.load(f)
+        steps = [h["step"] for h in hist if "loss" in h]
+        assert steps and steps[-1] == 10
+        # in-loop replicated validation ran and the best slot advanced
+        vals = [h for h in hist if "val_mpjpe" in h]
+        assert vals, "validation rows missing from history"
+        assert os.path.exists(os.path.join(logdir, "best", "best_metric.txt"))
+        # checkpoints: the resume leg restored from 6 and saved 9 (+final 10)
+        ckpts = sorted(
+            int(d) for d in os.listdir(os.path.join(logdir, "checkpoints"))
+            if d.isdigit())
+        assert 6 in ckpts and ckpts[-1] == 10, ckpts
+
+
 class TestMultiProcessPredict:
     def test_per_host_blocks_concatenate_to_single_host_dump(self, tmp_path):
         outdir = str(tmp_path)
