@@ -130,7 +130,8 @@ def _calibrated(cfg, variables, rng):
 def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
          quantize: str = "none", quantize_fused: bool = True,
          single_mode: bool = False, quantize_extras: str = "",
-         quantize_1x1_dot: str | None = None):
+         quantize_1x1_dot: str | None = None,
+         quantize_layout: str | None = None):
     # quantize_1x1_dot=None -> the config default ("all" since round 4);
     # an explicit --dot1x1= flag overrides for A/B runs.
     # measured sweeps on the v5e: round-1 (2026-08-16) bs256-1024 was flat;
@@ -147,9 +148,12 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
     cfg = Config()
     if quantize_1x1_dot is None:
         quantize_1x1_dot = cfg.model.quantize_1x1_dot
+    if quantize_layout is None:
+        quantize_layout = cfg.model.quantize_layout
     cfg8 = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, quantize="int8", quantize_fused=quantize_fused,
-        quantize_extras=quantize_extras, quantize_1x1_dot=quantize_1x1_dot))
+        quantize_extras=quantize_extras, quantize_1x1_dot=quantize_1x1_dot,
+        quantize_layout=quantize_layout))
     rng = np.random.RandomState(0)
     model = MetroModel(dataclasses.replace(cfg.model, quantize="none"))
     variables = model.init(
@@ -179,6 +183,7 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
             out["quantize_extras"] = quantize_extras
         if quantize == "int8":
             out["quantize_1x1_dot"] = quantize_1x1_dot
+            out["quantize_layout"] = quantize_layout
         print(json.dumps(out))
         return crops_per_sec, p50_ms
 
@@ -263,8 +268,10 @@ if __name__ == "__main__":
                    if a.startswith("--extras=")), "")
     dot1x1 = next((a.split("=", 1)[1] for a in sys.argv[1:]
                    if a.startswith("--dot1x1=")), None)
+    layout = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                   if a.startswith("--layout=")), None)
     explicit = (bool(pos) or "--flip-tta" in sys.argv or "--int8" in sys.argv
-                or bool(extras) or dot1x1 is not None)
+                or bool(extras) or dot1x1 is not None or layout is not None)
     # measured optima (BASELINE round-3 revisit): bs128 for single-pass,
     # bs64 for flip-TTA (the doubled batch then runs the preferred bs128
     # graph; int8 peak is SHARP at 128 — 96: 9.4k, 128: 10.05k, 160: 8.9k,
@@ -278,4 +285,5 @@ if __name__ == "__main__":
         single_mode=explicit,
         quantize_extras=extras,
         quantize_1x1_dot=dot1x1,
+        quantize_layout=layout,
     )

@@ -101,6 +101,17 @@ class ModelConfig:
     # p50 batch latency drops consistently (47.8->42.2 / 49.8->38.4 ms).
     # "all" is the default: never materially loses, wins both protocols.
     quantize_1x1_dot: str = "all"
+    # int8: activation layout of the residual trunk — "nhwc" (flax-native)
+    # or "nchw". The int8 conv emitter prefers NCHW on 7/8 R50 shapes
+    # (1.01-1.18x, scripts/exp_int8_layout.py) and the win survives the
+    # fused requant chain on 3/4 stages (-5.3% trunk-stage sum,
+    # scripts/exp_int8_layout_chain.py); the trunk transposes once after
+    # the stem pool and once before bn_final. BIT-EXACT rerouting
+    # (integer conv sums + elementwise f32 epilogues are layout-
+    # independent; tests/test_quantize.py::TestLayout). Requires
+    # quantize_stages="all" and a bottleneck variant. Default decided by
+    # the round-4 full-model chip A/B at the serving shapes (see below).
+    quantize_layout: str = "nhwc"
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON
     # 0 = global sync-BN over the sharded batch (TPU default). >0 = ghost BN:

@@ -58,6 +58,7 @@ class MetroModel(nn.Module):
             quantize_fused=cfg.quantize_fused,
             quantize_1x1_dot=cfg.quantize_1x1_dot,
             quantize_extras=cfg.quantize_extras,
+            quantize_layout=cfg.quantize_layout,
             name="backbone",
         )(crops, train)
 

@@ -100,14 +100,33 @@ class QuantConv(nn.Module):
     # same int8xint8->int32 integer sums (integer addition is associative),
     # so goldens and calibration are unaffected by the routing.
     dot_1x1: str = "none"
+    # activation layout the conv operates in: "nhwc" (flax-native) or
+    # "nchw". The int8 conv emitter prefers NCHW on most R50 shapes
+    # (scripts/exp_int8_layout{,_chain}.py: 1.01-1.18x per conv, survives
+    # the fused requant chain on 3/4 stages) — the trunk transposes once
+    # after the stem pool and once before bn_final (models/resnet.py).
+    # BIT-EXACT rerouting: integer conv sums + elementwise f32 epilogues
+    # are layout-independent. The kernel PARAM stays HWIO either way
+    # (checkpoints interchange); the int8 weight transposes at trace time.
+    # Calibration always runs the NHWC graph (scales are per-tensor, so
+    # they transfer across layouts).
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, pre_affine=None, pre_relu: bool = True):
         kh, kw = self.kernel_size
+        if self.layout not in ("nhwc", "nchw"):
+            raise ValueError(f"unknown QuantConv layout {self.layout!r}")
+        nchw = self.layout == "nchw"
+        if nchw and self.mode.startswith("calib"):
+            raise ValueError(
+                "calibration runs the NHWC graph (per-tensor scales "
+                "transfer across layouts); got layout='nchw'")
+        caxis = 1 if nchw else -1
         if pre_affine is None:
-            cin = x.shape[-1]
+            cin = x.shape[caxis]
         else:
-            cin = x[0].shape[-1]
+            cin = x[0].shape[caxis]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (kh, kw, cin, self.features), jnp.float32,
@@ -119,7 +138,10 @@ class QuantConv(nn.Module):
         amax = self.variable(
             "quant", "amax", lambda: jnp.zeros((), jnp.float32)
         )
-        dn = ("NHWC", "HWIO", "NHWC")
+        dn = ("NCHW", "OIHW", "NCHW") if nchw else ("NHWC", "HWIO", "NHWC")
+        # per-channel vectors broadcast over the trailing axis in NHWC but
+        # need an explicit channel-second reshape in NCHW
+        cvec = (lambda v: v.reshape(1, -1, 1, 1)) if nchw else (lambda v: v)
 
         if self.mode.startswith("calib"):
             if pre_affine is not None:
@@ -147,7 +169,7 @@ class QuantConv(nn.Module):
                 acc_in, scale_in = x
                 a, c = pre_affine
                 m = (a * scale_in) / sa  # [Cin] fused dequant+BN+quant scale
-                y_s = acc_in.astype(jnp.float32) * m + (c / sa)
+                y_s = acc_in.astype(jnp.float32) * cvec(m) + cvec(c / sa)
                 if pre_relu:
                     # sa > 0, so ReLU commutes with the scaling
                     y_s = jnp.maximum(y_s, 0.0)
@@ -155,8 +177,11 @@ class QuantConv(nn.Module):
             sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # [F]
             swc = jnp.maximum(sw, 1e-12)
             wq = jnp.clip(jnp.round(kernel / swc), -127.0, 127.0).astype(jnp.int8)
-            if dot_1x1_applies(self.dot_1x1, self.kernel_size, self.strides,
-                               self.kernel_dilation, cin):
+            if nchw:
+                wq = wq.transpose(3, 2, 0, 1)  # HWIO -> OIHW, trace-time
+            if not nchw and dot_1x1_applies(
+                    self.dot_1x1, self.kernel_size, self.strides,
+                    self.kernel_dilation, cin):
                 acc = lax.dot_general(
                     xq.reshape(-1, cin), wq.reshape(cin, self.features),
                     (((1,), (0,)), ((), ())),
@@ -172,9 +197,9 @@ class QuantConv(nn.Module):
                 if bias is not None:
                     raise ValueError("out_mode='acc' does not support bias")
                 return acc, sa * swc
-            y = (acc.astype(jnp.float32) * (sa * swc)).astype(self.dtype)
+            y = (acc.astype(jnp.float32) * cvec(sa * swc)).astype(self.dtype)
         if bias is not None:
-            y = y + bias.astype(self.dtype)
+            y = y + cvec(bias).astype(self.dtype)
         return y
 
 

@@ -147,11 +147,14 @@ def parse_quantize_extras(extras: str) -> frozenset:
 
 
 def _make_conv(f, k, s, d, name, use_bias, dtype, conv_padding, quantize,
-               out_mode="dequant", dot_1x1="none"):
+               out_mode="dequant", dot_1x1="none", layout="nhwc"):
     """Block conv factory: nn.Conv, or the int8/calibration conv
     (models/quantize.py) with the identical parameter tree."""
     pad = _conv_pad(k, s, d, conv_padding)
     if quantize == "none":
+        if layout != "nhwc":
+            raise ValueError("bf16 block convs are NHWC-only; the nchw "
+                             "trunk requires quantize_stages='all'")
         return nn.Conv(
             f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding=pad,
             use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32, name=name,
@@ -161,7 +164,7 @@ def _make_conv(f, k, s, d, name, use_bias, dtype, conv_padding, quantize,
     return QuantConv(
         features=f, kernel_size=(k, k), strides=(s, s), kernel_dilation=(d, d),
         padding=pad, use_bias=use_bias, dtype=dtype, mode=quantize, name=name,
-        out_mode=out_mode, dot_1x1=dot_1x1,
+        out_mode=out_mode, dot_1x1=dot_1x1, layout=layout,
     )
 
 
@@ -232,16 +235,24 @@ class GhostBatchNorm(nn.Module):
 
 
 def make_batch_norm(*, group_size: int, train: bool, momentum: float,
-                    epsilon: float, dtype, name: str):
-    """BN factory: global sync-BN (flax) or ghost BN per `group_size`."""
+                    epsilon: float, dtype, name: str, axis: int = -1):
+    """BN factory: global sync-BN (flax) or ghost BN per `group_size`.
+
+    `axis` is the feature axis (-1 for NHWC, 1 for the int8 NCHW trunk);
+    ghost BN is a training feature and the NCHW trunk is inference-only,
+    so GhostBatchNorm stays channels-last.
+    """
     if group_size > 0:
+        if axis != -1:
+            raise ValueError("ghost BN is channels-last only; the nchw "
+                             "int8 trunk requires bn_group_size=0")
         return GhostBatchNorm(
             group_size=group_size, use_running_average=not train,
             momentum=momentum, epsilon=epsilon, dtype=dtype, name=name,
         )
     return nn.BatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=epsilon,
-        dtype=dtype, param_dtype=jnp.float32, name=name,
+        dtype=dtype, param_dtype=jnp.float32, name=name, axis=axis,
     )
 
 
@@ -264,27 +275,36 @@ class Bottleneck(nn.Module):
     quantize_fused: bool = True  # int8: fuse dequant+BN+ReLU+requant at the
     #                              block-internal junctions (preact only)
     quantize_1x1_dot: str = "none"  # pointwise int8 convs as dot_generals
+    quantize_layout: str = "nhwc"  # int8 activation layout (see QuantConv)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # NCHW applies only to the int8 graph (the layout knob is an int8
+        # emitter lever; bf16/calib stay flax-native NHWC)
+        nchw = self.quantize == "int8" and self.quantize_layout == "nchw"
+        caxis = 1 if nchw else -1
         bn = lambda name: make_batch_norm(
             group_size=self.bn_group_size, train=train,
             momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, name=name, axis=caxis,
         )
         conv = lambda f, k, s, d, name, ub=False, om="dequant": _make_conv(
             f, k, s, d, name, ub, self.dtype, self.conv_padding, self.quantize,
             out_mode=om, dot_1x1=self.quantize_1x1_dot,
+            layout="nchw" if nchw else "nhwc",
         )
         out_features = self.features * 4
-        change = x.shape[-1] != out_features
+        change = x.shape[caxis] != out_features
         # stride without channel change (slim "last"-unit case): shortcut is
         # a 1x1 subsample of the input (slim's max_pool2d([1,1], stride)),
         # not a projection — keeps the parameter tree identical across
         # stride_position modes.
-        subsample = (lambda t: t[:, :: self.strides, :: self.strides, :]) if (
-            self.strides != 1 and not change
-        ) else (lambda t: t)
+        if self.strides != 1 and not change:
+            subsample = (
+                (lambda t: t[:, :, :: self.strides, :: self.strides]) if nchw
+                else (lambda t: t[:, :: self.strides, :: self.strides, :]))
+        else:
+            subsample = lambda t: t
 
         if self.preact:
             h = nn.relu(bn("bn_pre")(x))
@@ -342,6 +362,8 @@ class BasicBlock(nn.Module):
     quantize_fused: bool = True  # accepted for API parity; the basic block
     quantize_1x1_dot: str = "none"  # parity; basic blocks have no 1x1 convs
     #                              keeps the unfused int8 junctions
+    quantize_layout: str = "nhwc"  # parity; ResNet rejects nchw for basic
+    #                                variants before any block is built
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -399,12 +421,31 @@ class ResNet(nn.Module):
     quantize_fused: bool = True  # fused block-internal int8 junctions
     quantize_1x1_dot: str = "none"  # pointwise int8 convs as dot_generals
     quantize_extras: str = ""  # csv; "stem" quantizes the 7x7/2 input conv
+    quantize_layout: str = "nhwc"  # int8 trunk activation layout (see
+    #                                QuantConv.layout; "nchw" transposes the
+    #                                trunk once after the stem pool and once
+    #                                before bn_final)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         depths: Sequence[int] = RESNET_DEPTHS[self.variant]
         base = BASE_WIDTHS.get(self.variant, 64)
         block_cls = BasicBlock if self.variant in BASIC_BLOCK else Bottleneck
+
+        if self.quantize_layout not in ("nhwc", "nchw"):
+            raise ValueError(
+                f"unknown quantize_layout {self.quantize_layout!r}")
+        # NCHW is an int8-emitter lever: bf16 and calibration graphs stay
+        # flax-native NHWC (per-tensor scales transfer across layouts).
+        nchw_trunk = self.quantize == "int8" and self.quantize_layout == "nchw"
+        if nchw_trunk and self.quantize_stages != "all":
+            raise ValueError(
+                "quantize_layout='nchw' transposes the whole trunk once; "
+                "mixed bf16/int8 stages would need per-stage transposes — "
+                "use quantize_stages='all' (or layout='nhwc')")
+        if nchw_trunk and self.variant in BASIC_BLOCK:
+            raise ValueError(
+                "quantize_layout='nchw' supports bottleneck variants only")
 
         x = x.astype(self.dtype)
         extras = parse_quantize_extras(self.quantize_extras)
@@ -437,6 +478,11 @@ class ResNet(nn.Module):
         pool_mode = (self.conv_padding
                      if self.conv_padding in ("torch", "keras") else "same")
         x = stem_max_pool(x, mode=pool_mode, train=train)
+        if nchw_trunk:
+            # one transpose in, one out (before bn_final) for the whole
+            # trunk — the full-model A/B (config.py quantize_layout) prices
+            # these against the per-conv emitter wins
+            x = jnp.transpose(x, (0, 3, 1, 2))
 
         # Stage strides for the requested output stride; once the cumulative
         # stride hits the target, later stages switch to dilation instead.
@@ -488,9 +534,12 @@ class ResNet(nn.Module):
                     quantize=stage_quant,
                     quantize_fused=self.quantize_fused,
                     quantize_1x1_dot=self.quantize_1x1_dot,
+                    quantize_layout=self.quantize_layout,
                     name=f"stage{stage + 1}_block{i + 1}",
                 )(x, train)
 
+        if nchw_trunk:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         if self.preact:  # v2: final BN+ReLU
             x = nn.relu(
                 make_batch_norm(

@@ -354,3 +354,79 @@ class TestDot1x1:
         # non-pointwise convs never reroute, whatever the policy
         assert not dot_1x1_applies("all", (3, 3), (1, 1), (1, 1), 64)
         assert not dot_1x1_applies("all", (1, 1), (2, 2), (1, 1), 64)
+
+
+class TestLayout:
+    """quantize_layout: the int8 trunk in NCHW (config.py provenance).
+
+    Like the dot_1x1 routing, the layout is BIT-EXACT: the integer conv
+    sums are layout-independent and the f32 requant epilogues are
+    elementwise, so int8 outputs must match bitwise across layouts off
+    the same calibration. Calibration itself always runs the NHWC graph."""
+
+    def _int8_out(self, layout, fused=True, dot="all"):
+        rng = np.random.RandomState(0)
+        base = MetroModel(_cfg("none").model)
+        variables = base.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+        # non-trivial batch stats so the fused BN affines matter
+        variables = dict(variables)
+        variables["batch_stats"] = jax.tree_util.tree_map(
+            lambda v: v + jnp.abs(jax.random.normal(
+                jax.random.PRNGKey(5), v.shape)) * 0.1,
+            variables["batch_stats"])
+        calibrated = calibrate(
+            MetroModel(_cfg("calib").model), dict(variables),
+            [_crops(rng) for _ in range(2)])
+        cfg = _cfg("int8")
+        model = MetroModel(dataclasses.replace(
+            cfg.model, quantize_layout=layout, quantize_fused=fused,
+            quantize_1x1_dot=dot))
+        return model.apply(
+            calibrated, _crops(np.random.RandomState(7)), train=False)
+
+    def test_nchw_is_bit_exact_fused(self):
+        l3_hwc, l2_hwc = self._int8_out("nhwc")
+        l3_chw, l2_chw = self._int8_out("nchw")
+        assert jnp.array_equal(l3_hwc, l3_chw)
+        assert jnp.array_equal(l2_hwc, l2_chw)
+
+    def test_nchw_is_bit_exact_unfused(self):
+        l3_hwc, l2_hwc = self._int8_out("nhwc", fused=False, dot="none")
+        l3_chw, l2_chw = self._int8_out("nchw", fused=False, dot="none")
+        assert jnp.array_equal(l3_hwc, l3_chw)
+        assert jnp.array_equal(l2_hwc, l2_chw)
+
+    def test_bf16_graph_ignores_layout_knob(self):
+        # layout is an int8 lever: the unquantized graph runs NHWC whatever
+        # the knob says (calibration relies on this)
+        rng = np.random.RandomState(0)
+        base = MetroModel(_cfg("none").model)
+        variables = base.init(jax.random.PRNGKey(0), _crops(rng, 1), train=False)
+        knob = MetroModel(dataclasses.replace(
+            _cfg("none").model, quantize_layout="nchw"))
+        l3_a, _ = base.apply(variables, _crops(np.random.RandomState(7)), train=False)
+        l3_b, _ = knob.apply(variables, _crops(np.random.RandomState(7)), train=False)
+        assert jnp.array_equal(l3_a, l3_b)
+
+    def test_guards(self):
+        from metro_pose3d_tpu.models.quantize import QuantConv
+        from metro_pose3d_tpu.models.resnet import ResNet
+
+        with pytest.raises(ValueError, match="quantize_layout"):
+            MetroModel(dataclasses.replace(
+                _cfg("int8").model, quantize_layout="chwn")).apply(
+                {}, jnp.zeros((1, 64, 64, 3)), train=False)
+        # mixed-stage quantization can't share the single trunk transpose
+        with pytest.raises(ValueError, match="quantize_stages"):
+            ResNet(variant="tiny", quantize="int8", quantize_stages="2,3",
+                   quantize_layout="nchw").init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        # basic-block variants are NHWC-only
+        with pytest.raises(ValueError, match="bottleneck"):
+            ResNet(variant="resnet18", quantize="int8",
+                   quantize_layout="nchw").init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        # calibration never runs NCHW (per-tensor scales transfer)
+        with pytest.raises(ValueError, match="calibration"):
+            QuantConv(8, (1, 1), mode="calib", layout="nchw").init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, 4, 4)))
