@@ -102,15 +102,21 @@ class ModelConfig:
     # "all" is the default: never materially loses, wins both protocols.
     quantize_1x1_dot: str = "all"
     # int8: activation layout of the residual trunk — "nhwc" (flax-native)
-    # or "nchw". The int8 conv emitter prefers NCHW on 7/8 R50 shapes
-    # (1.01-1.18x, scripts/exp_int8_layout.py) and the win survives the
-    # fused requant chain on 3/4 stages (-5.3% trunk-stage sum,
-    # scripts/exp_int8_layout_chain.py); the trunk transposes once after
-    # the stem pool and once before bn_final. BIT-EXACT rerouting
-    # (integer conv sums + elementwise f32 epilogues are layout-
-    # independent; tests/test_quantize.py::TestLayout). Requires
-    # quantize_stages="all" and a bottleneck variant. Default decided by
-    # the round-4 full-model chip A/B at the serving shapes (see below).
+    # or "nchw". The int8 conv emitter prefers NCHW on 7/8 R50 shapes in
+    # isolation (1.01-1.18x, scripts/exp_int8_layout.py) and the win
+    # survives the fused requant chain on 3/4 stages (-5.3% trunk-stage
+    # sum, scripts/exp_int8_layout_chain.py) — but the FULL-MODEL chip A/B
+    # (2026-08-20, two serial passes each direction, /tmp/ab_layout.log →
+    # BASELINE.md round-5): NHWC 10,020 vs NCHW 7,980 crops/s no-TTA bs128
+    # (-20%!), TTA bs64 NHWC 4,839 vs NCHW 3,057-4,037. The stage-level
+    # probes miss what the whole graph sees: XLA fuses the f32 requant
+    # epilogues and head/stem transitions differently once every stage is
+    # NCHW, and the two explicit trunk transposes don't amortize. NHWC
+    # stays the default; the knob remains for re-probing after toolchain
+    # updates. BIT-EXACT rerouting either way (integer conv sums +
+    # elementwise f32 epilogues are layout-independent;
+    # tests/test_quantize.py::TestLayout). Requires quantize_stages="all"
+    # and a bottleneck variant.
     quantize_layout: str = "nhwc"
     bn_momentum: float = C.BN_MOMENTUM
     bn_epsilon: float = C.BN_EPSILON

@@ -65,6 +65,30 @@ def compute_mean_bones(dataset, n_examples: int = 512) -> np.ndarray:
     return (acc / count).astype(np.float32)
 
 
+def lift_twofive(pred: dict, batch: dict, root: int) -> dict:
+    """Lift a 2.5D-baseline prediction to camera-frame / root-relative mm,
+    in place. (u, v, z_centered) is back-projected with the GT root depth —
+    the paper convention for image-aligned baselines, and exactly the
+    scale/distance dependence MeTRo's metric volume removes. Shared by
+    `predict_dataset` and `evaluation.truncation.evaluate_truncation`."""
+    from metro_pose3d_tpu.models.metro import twofive_backproject
+
+    p25 = np.asarray(pred["pose25d"])
+    z_rel = p25[..., 2] - p25[:, root : root + 1, 2]
+    p25 = np.concatenate([p25[..., :2], z_rel[..., None]], -1)
+    root_depth = batch["coords3d_true"][:, root, 2]
+    abs3d = np.asarray(
+        twofive_backproject(
+            jax.numpy.asarray(p25),
+            jax.numpy.asarray(batch["intrinsics"]),
+            jax.numpy.asarray(root_depth),
+        )
+    )
+    pred["pose3d_abs"] = abs3d
+    pred["pose3d_rootrel"] = abs3d - abs3d[:, root : root + 1]
+    return pred
+
+
 def make_dataset_predict_fn(cfg: Config, dataset, mesh=None, mean_bones=None):
     """Build the fused predict fn for a dataset's skeleton ONCE.
 
@@ -153,25 +177,7 @@ def predict_dataset(
         pred = jax.device_get(fn(variables, {k: v for k, v in dev_batch.items()}))
         keep = pad > 0.5
         if "pose25d" in pred:
-            # 2.5D baseline: lift (u, v, z_centered) to camera mm with the
-            # GT root depth (paper convention for image-aligned baselines —
-            # exactly the scale/distance dependence MeTRo's metric volume
-            # removes).
-            from metro_pose3d_tpu.models.metro import twofive_backproject
-
-            p25 = np.asarray(pred["pose25d"])
-            z_rel = p25[..., 2] - p25[:, root : root + 1, 2]
-            p25 = np.concatenate([p25[..., :2], z_rel[..., None]], -1)
-            root_depth = batch["coords3d_true"][:, root, 2]
-            abs3d = np.asarray(
-                twofive_backproject(
-                    jax.numpy.asarray(p25),
-                    jax.numpy.asarray(batch["intrinsics"]),
-                    jax.numpy.asarray(root_depth),
-                )
-            )
-            pred["pose3d_abs"] = abs3d
-            pred["pose3d_rootrel"] = abs3d - abs3d[:, root : root + 1]
+            lift_twofive(pred, batch, root)
         for k in outs:
             if k in pred:
                 outs[k].append(pred[k][keep])

@@ -65,6 +65,13 @@ def evaluate_truncation(
             )
         batch = stack_examples(prepared)
         pred = jax.device_get(fn(variables, {k: v for k, v in batch.items()}))
+        if "pose25d" in pred:
+            # 2.5D baseline (model_class=twofive): lift with the GT root
+            # depth, same as predict_dataset — the protocol then compares
+            # both model classes on identical root-relative footing
+            from metro_pose3d_tpu.evaluation.predict import lift_twofive
+
+            lift_twofive(pred, batch, root)
         rel_pred = pred["pose3d_rootrel"]
         gt = batch["coords3d_true"]
         rel_gt = gt - gt[:, root : root + 1]
