@@ -85,7 +85,7 @@ def _device_ping_ms() -> float:
     return (time.perf_counter() - t0) * 1000
 
 
-def _build_scan(fn, k: int):
+def _build_scan(fn):
     """Wrap a predict fn in an on-device k-iteration loop — ONE dispatch
     per throughput window, so the measurement is immune to tunnel-phase
     dispatch starvation (observed 2026-08-20: per-call dispatch through a
@@ -95,17 +95,25 @@ def _build_scan(fn, k: int):
     hosts dispatch is local and μs-scale, so device throughput is the
     deployment rate. The loop body carries a data dependency (one uint8
     pixel perturbed by the previous iteration's output) so XLA cannot
-    hoist the loop-invariant computation and measure 1 iteration as k."""
+    hoist the loop-invariant computation and measure 1 iteration as k.
+
+    k is a TRACED argument (the fori_loop lowers to a dynamic-trip-count
+    while loop): one compile serves every window length, and timing the
+    DIFFERENCE between a long and a short window cancels the constant
+    per-dispatch overhead — through this tunnel the final scalar fetch
+    alone is 25-900 ms, which polluted fixed-k windows by up to ~10%."""
     import jax.lax as lax
 
-    def run(variables, crops, intr):
+    def run(variables, crops, intr, k):
         def body(_, carry):
             acc, poke = carry
             crops_i = crops.at[0, 0, 0, 0].add(poke)
             out = fn(variables, crops_i, intr)
-            leaves = [v for v in jax.tree_util.tree_leaves(out)
-                      if jnp.issubdtype(v.dtype, jnp.floating)]
-            s = sum(jnp.sum(x[(0,) * (x.ndim - 1)]) for x in leaves)
+            # consume EVERY element of every output leaf: a partial sum
+            # (e.g. row 0 only) would let XLA dead-code-eliminate the rest
+            # of the batch and measure a sliced graph
+            s = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out)
+                    if jnp.issubdtype(x.dtype, jnp.floating))
             return acc + s, (s.astype(jnp.int32) % 2).astype(jnp.uint8)
 
         acc, _ = lax.fori_loop(0, k, body, (jnp.float32(0), jnp.uint8(0)))
@@ -162,19 +170,35 @@ def _measure(fn, variables, crops, intr, iters: int, max_windows: int = 3):
     return crops_per_sec, p50_ms, noise
 
 
-def _scan_rate(fn, variables, crops, intr, k: int = 24, n_windows: int = 2):
-    """Device-loop throughput (crops/s): best of `n_windows` one-dispatch
-    windows of k batches each. See _build_scan for why this is the
-    tunnel-immune production rate. Raises on compile failure — callers
-    treat scan as an upgrade over the dispatch windows, never a loss."""
-    srun = _build_scan(fn, k)
-    np.asarray(srun(variables, crops, intr))  # compile + warmup
-    rates = []
-    for _ in range(n_windows):
-        t0 = time.perf_counter()
-        np.asarray(srun(variables, crops, intr))
-        rates.append(crops.shape[0] * k / (time.perf_counter() - t0))
-    return max(rates), [round(r, 1) for r in rates]
+def _scan_rate(fn, variables, crops, intr, k_small: int = 16,
+               k_big: int = 144, n_pairs: int = 2):
+    """Device-loop throughput (crops/s) by paired-window differencing.
+
+    Times a k_small- and a k_big-iteration device loop (same compiled fn,
+    k is traced) and rates the DIFFERENCE: rate = bs*(k_big-k_small) /
+    (t_big - t_small). The constant per-dispatch cost — through this
+    tunnel, dominated by the final scalar fetch at 25-900 ms — cancels
+    exactly; what remains is pure device time. min-of-pairs on each side
+    (the minimum is the least-polluted observation of a fixed quantity).
+    Raises on compile failure — callers treat scan as an upgrade over the
+    dispatch windows, never a loss."""
+    srun = _build_scan(fn)
+    np.asarray(srun(variables, crops, intr, k_small))  # compile + warmup
+    times = {k_small: [], k_big: []}
+    for _ in range(n_pairs):
+        for k in (k_small, k_big):
+            t0 = time.perf_counter()
+            np.asarray(srun(variables, crops, intr, k))
+            times[k].append(time.perf_counter() - t0)
+    dt = min(times[k_big]) - min(times[k_small])
+    rate = crops.shape[0] * (k_big - k_small) / dt
+    detail = {
+        "t_small_s": [round(t, 3) for t in times[k_small]],
+        "t_big_s": [round(t, 3) for t in times[k_big]],
+        "k": [k_small, k_big],
+        "rate": round(rate, 1),
+    }
+    return rate, detail
 
 
 def _calibrated(cfg, variables, rng):
@@ -268,7 +292,7 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
         crops_per_sec, p50_ms, noise = _measure(fn, run_vars, crops, intr, iters)
         if use_scan:
             try:
-                scan_cps, noise["scan_windows"] = _scan_rate(
+                scan_cps, noise["scan"] = _scan_rate(
                     fn, run_vars, crops, intr)
                 crops_per_sec = max(crops_per_sec, scan_cps)
             except Exception as e:  # noqa: BLE001 — scan is an upgrade only
@@ -381,7 +405,7 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
             if leg not in legs or time.perf_counter() - t_start > SELF_DEADLINE_S - 90:
                 continue
             try:
-                scan_cps, noise_by_leg[leg]["scan_windows"] = _scan_rate(*legs[leg])
+                scan_cps, noise_by_leg[leg]["scan"] = _scan_rate(*legs[leg])
             except Exception as e:  # noqa: BLE001 — upgrade only
                 noise_by_leg[leg]["scan_error"] = f"{type(e).__name__}: {e}"[:150]
                 continue
