@@ -378,6 +378,7 @@ def main(batch_size: int = 128, iters: int = 20, flip_tta: bool = False,
                 "int8_p50_ms": round(int8_p50, 2),
                 "int8_batch_size": 128,
                 "quantize_1x1_dot": quantize_1x1_dot,
+                "quantize_layout": quantize_layout,
             })
         if cal_vars is not None and time.perf_counter() - t_start < TTA_GATE_S:
             fnt, cropst, intrt = _build(cfg8, cal_vars, True, 64, rng)

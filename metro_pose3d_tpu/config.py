@@ -99,7 +99,11 @@ class ModelConfig:
     # no-TTA bs128 none 9,692 / all 9,863 (+1.8%) / cin>=1024 9,659;
     # TTA bs64 none 4,808 / all 4,905 (+2.0%) / cin>=1024 4,956 (+3.1%);
     # p50 batch latency drops consistently (47.8->42.2 / 49.8->38.4 ms).
-    # "all" is the default: never materially loses, wins both protocols.
+    # Round-5 revisit under the dispatch-free device scan rate (BASELINE
+    # round-5 dot-policy sweep + replication): all policies agree within
+    # ~1% on both protocols (TTA all-mean 5,645 vs none 5,617; no-TTA
+    # 11,078 vs 11,091) — the round-4 edges were dispatch noise. "all"
+    # stays the default: bit-exact, never loses, simplest invariant.
     quantize_1x1_dot: str = "all"
     # int8: activation layout of the residual trunk — "nhwc" (flax-native)
     # or "nchw". The int8 conv emitter prefers NCHW on 7/8 R50 shapes in
