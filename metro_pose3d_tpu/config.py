@@ -249,6 +249,13 @@ class TrainConfig:
                                     # flat_fused_adam): ~4.7 ms/step cheaper
                                     # than the optax tree chain on the v5e;
                                     # same math up to float reassociation
+    # > 1: run K train steps inside ONE jitted lax.fori_loop dispatch
+    # (train/loop.py make_fused_train_step) — per-dispatch host overhead is
+    # paid once per K steps. Requires device-resident batches
+    # (data.cycle_batches > 0); log/checkpoint/validate boundaries must be
+    # multiples of K so the logging semantics stay step-exact. Numerically
+    # step-for-step equivalent to unfused dispatch (tests/test_fused_steps).
+    fused_steps: int = 1
     seed: int = 0
     checkpoint_every: int = 2_000
     # > 0: capture an XLA profiler trace of this many consecutive train

@@ -49,6 +49,34 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     )
 
 
+def put_stacked_batch(stacked: dict, mesh: Mesh) -> dict:
+    """A K-batch buffer (every array leaf stacked on a NEW leading axis)
+    -> device arrays sharded `P(None, "data")`: the buffer axis replicated,
+    the batch axis split over the mesh. Indexing axis 0 inside a jit
+    (`lax.dynamic_index_in_dim`) then yields a normally-`P("data")`-sharded
+    batch — the input contract of `train.loop.make_fused_train_step`.
+
+    Multi-process: like `put_batch`, each process passes only its LOCAL
+    rows on the batch axis (stacked shape [K, local_rows, ...]) and the
+    result is the global [K, global_rows, ...] array.
+    """
+    def spec(x):
+        if np.ndim(x) >= 2:
+            return P(None, "data")
+        return P()  # per-buffer scalars ([K] after stacking): replicate
+
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), stacked
+        )
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec(x)), np.asarray(x)
+        ),
+        stacked,
+    )
+
+
 def put_batch(batch: dict, mesh: Mesh) -> dict:
     """Feed a host batch onto the mesh, single- or multi-process.
 

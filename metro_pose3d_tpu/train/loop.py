@@ -108,16 +108,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(cfg: Config, tx: optax.GradientTransformation,
-                    root_index: int = 0, mesh=None, occluder_bank=None,
-                    background_bank=None, occluder_packed: bool = False):
-    """Build the jitted train step. With `mesh`, inputs/outputs get explicit
-    shardings (state replicated, batch split on `data`) and donation.
-    `background_bank` ([N,T,T,3] uint8, replicated) enables the 3DHP
-    green-screen replacement for batches carrying "source_mask".
-    `occluder_packed=True` declares that the bank operand passed at call
-    time is the PRE-packed output of `pipeline.device.pack_occluder_bank_for`
-    (pack once at setup rather than in-graph every step)."""
+def _build_raw_step(cfg: Config, tx: optax.GradientTransformation,
+                    root_index: int, mesh, background_bank,
+                    occluder_packed: bool):
+    """The UN-jitted train step closure shared by `make_train_step` (one
+    step per dispatch) and `make_fused_train_step` (K steps per dispatch
+    inside a `lax.fori_loop`)."""
     model = MetroModel(cfg.model.at_phase(train=True))
     bg_bank = (
         jnp.asarray(background_bank) if background_bank is not None else None
@@ -170,6 +166,22 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation,
+                    root_index: int = 0, mesh=None, occluder_bank=None,
+                    background_bank=None, occluder_packed: bool = False):
+    """Build the jitted train step. With `mesh`, inputs/outputs get explicit
+    shardings (state replicated, batch split on `data`) and donation.
+    `background_bank` ([N,T,T,3] uint8, replicated) enables the 3DHP
+    green-screen replacement for batches carrying "source_mask".
+    `occluder_packed=True` declares that the bank operand passed at call
+    time is the PRE-packed output of `pipeline.device.pack_occluder_bank_for`
+    (pack once at setup rather than in-graph every step)."""
+    step = _build_raw_step(cfg, tx, root_index, mesh, background_bank,
+                           occluder_packed)
+
     if mesh is None:
         jitted = jax.jit(step, donate_argnums=(0,))
     else:
@@ -192,3 +204,55 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
         return bound
     return jitted
+
+
+def make_fused_train_step(cfg: Config, tx: optax.GradientTransformation,
+                          root_index: int = 0, mesh=None,
+                          background_bank=None, occluder_packed: bool = False):
+    """K train steps per dispatch: `fused(state, batches, occ_bank, offset,
+    n) -> (state, last_metrics)` where `batches` is a K-batch buffer stacked
+    on a new leading axis (see `parallel.mesh.put_stacked_batch`) and the
+    loop consumes `batches[(offset + i) % K]` for i in [0, n) — the same
+    schedule the trainer's host-side `buf[step % K]` cycle produces, so a
+    fused run is step-for-step equivalent to the unfused one (pinned by
+    tests/test_fused_steps.py).
+
+    Why: the reference dispatches one step at a time (SURVEY §4.1 Session
+    loop). On TPU the per-dispatch host cost is pure overhead once batches
+    are device-resident; a `lax.fori_loop` over the step body pays it once
+    per K steps and lets XLA overlap the loop iterations' host-independent
+    schedule. `n` is TRACED (the loop lowers to a dynamic-trip-count while
+    loop), so one compile serves every chunk size — including the final
+    partial chunk when num_steps % K != 0. The LR schedule and Adam bias
+    correction advance via `state.step`/opt-state count inside the body,
+    exactly as in sequential dispatch."""
+    import jax.lax as lax
+
+    step = _build_raw_step(cfg, tx, root_index, mesh, background_bank,
+                           occluder_packed)
+
+    def fused(state: TrainState, batches: dict, occ_bank, offset, n):
+        n_buf = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+        def batch_at(idx):
+            return jax.tree_util.tree_map(
+                lambda x: lax.dynamic_index_in_dim(x, idx, 0, keepdims=False),
+                batches,
+            )
+
+        def body(i, carry):
+            st, _ = carry
+            return step(st, batch_at(lax.rem(offset + i, n_buf)), occ_bank)
+
+        # run step 0 eagerly (in-trace) to materialize the metrics carry
+        # structure, then loop the remaining n-1 steps; n >= 1 required
+        carry = body(jnp.int32(0), (state, None))
+        return lax.fori_loop(1, n, body, carry)
+
+    if mesh is None:
+        return jax.jit(fused, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    # in_shardings inferred: batches/occ_bank arrive committed (the stacked
+    # buffer via put_stacked_batch, the bank via the trainer's device_put),
+    # offset/n are replicated scalars
+    return jax.jit(fused, out_shardings=(repl, repl), donate_argnums=(0,))

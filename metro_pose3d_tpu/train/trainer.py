@@ -147,6 +147,23 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     from metro_pose3d_tpu.config import apply_matmul_precision
 
     apply_matmul_precision(cfg)
+    # multi-step dispatch fusion (train.fused_steps): validate BEFORE any
+    # heavy setup — a misaligned boundary would silently shift every
+    # logging/checkpoint/validation event, so fail loud here instead
+    fused = max(1, cfg.train.fused_steps)
+    if fused > 1:
+        if cfg.data.cycle_batches <= 0:
+            raise ValueError(
+                "train.fused_steps > 1 loops over a device-resident batch "
+                "buffer and requires data.cycle_batches > 0 (host-fed "
+                "batches cannot be consumed inside one device dispatch)")
+        for name in ("log_every", "checkpoint_every", "validate_every"):
+            every = getattr(cfg.train, name)
+            if every and every % fused:
+                raise ValueError(
+                    f"train.{name}={every} must be a multiple of "
+                    f"train.fused_steps={fused}: boundary events can only "
+                    f"fire between fused dispatches")
     # CLI spelling of the augmentation asset roots (--data.occluder_root /
     # --data.background_root); an explicit argument wins
     occluder_root = occluder_root or (cfg.data.occluder_root or None)
@@ -220,6 +237,9 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         skip_batches=0 if cfg.data.cycle_batches > 0 else start_step,
         n_occluders=n_occluders,
     )
+    stacked = None
+    fused_step_fn = None
+    rows_per_step = 0
     if cfg.data.cycle_batches > 0:
         # benchmark aid (see DataConfig.cycle_batches): materialize K host
         # batches once, then serve them round-robin; resume keeps phase via
@@ -232,17 +252,38 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
         # source-tile batch, drowning the device rate the knob exists to
         # measure. K batches cost K * batch-bytes of HBM (~400 MB each at
         # bs512/source 512): size cycle_batches to the chip's headroom.
-        buf = [put_batch(next(src), mesh) for _ in range(cfg.data.cycle_batches)]
-        log.info("cycling %d pre-prepared device-resident batches "
-                 "(data.cycle_batches)", len(buf))
+        host_buf = [next(src) for _ in range(cfg.data.cycle_batches)]
+        rows_per_step = len(host_buf[0]["is_3d"])
+        if fused > 1:
+            # fused dispatch consumes the buffer INSIDE the jit program:
+            # stack it on a new leading (replicated) axis so the loop body
+            # can dynamic-index batch (offset + i) % K on device
+            from metro_pose3d_tpu.parallel.mesh import put_stacked_batch
 
-        def _cycle():
-            i = start_step
-            while True:
-                yield buf[i % len(buf)]
-                i += 1
+            stacked = put_stacked_batch(
+                {k: np.stack([b[k] for b in host_buf]) for k in host_buf[0]},
+                mesh,
+            )
+            from metro_pose3d_tpu.train.loop import make_fused_train_step
 
-        it = _cycle()
+            fused_step_fn = make_fused_train_step(
+                cfg, tx, root_index=root, mesh=mesh,
+                background_bank=bg_bank, occluder_packed=True)
+            it = None
+            log.info("fused dispatch: %d steps per jit call over %d "
+                     "device-resident batches", fused, len(host_buf))
+        else:
+            buf = [put_batch(b, mesh) for b in host_buf]
+            log.info("cycling %d pre-prepared device-resident batches "
+                     "(data.cycle_batches)", len(buf))
+
+            def _cycle():
+                i = start_step
+                while True:
+                    yield buf[i % len(buf)]
+                    i += 1
+
+            it = _cycle()
         # cycled batches are ALREADY global sharded arrays: re-applying
         # put_batch would call np.asarray on a non-fully-addressable global
         # jax.Array under multi-process and crash at step 1 (the
@@ -277,16 +318,30 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
                   if cfg.train.profile_steps > 0 and primary else -1)
     prof_stop = prof_start + cfg.train.profile_steps
     profiling = False
-    for step_i in range(start_step, total):
-        if step_i == prof_start:
+    # the loop advances `done` by 1 per dispatch (classic path) or by the
+    # fused chunk size; with the boundary knobs validated as multiples of
+    # fused_steps, every log/checkpoint/validate event below fires at the
+    # exact same step counts either way (tests/test_fused_steps.py)
+    done = start_step
+    while done < total:
+        if prof_start >= 0 and not profiling and prof_start <= done < prof_stop:
             jax.profiler.start_trace(os.path.join(cfg.train.logdir, "profile"))
             profiling = True
-        batch = next(it)
-        if not batch_is_resident:
-            batch = put_batch(batch, mesh)
-        state, metrics = step_fn(state, batch, bank)
-        n_since += len(batch["is_3d"])
-        if profiling and step_i + 1 >= prof_stop:
+        if fused_step_fn is not None:
+            chunk = min(fused, total - done)
+            state, metrics = fused_step_fn(
+                state, stacked, bank,
+                np.int32(done % cfg.data.cycle_batches), np.int32(chunk))
+            n_since += rows_per_step * chunk
+        else:
+            chunk = 1
+            batch = next(it)
+            if not batch_is_resident:
+                batch = put_batch(batch, mesh)
+            state, metrics = step_fn(state, batch, bank)
+            n_since += len(batch["is_3d"])
+        done += chunk
+        if profiling and done >= prof_stop:
             jax.device_get(metrics)  # close the traced region at a real sync
             jax.profiler.stop_trace()
             profiling = False
@@ -294,35 +349,35 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
                      cfg.train.profile_steps,
                      os.path.join(cfg.train.logdir, "profile"))
 
-        if (step_i + 1) % cfg.train.log_every == 0 or step_i + 1 == total:
+        if done % cfg.train.log_every == 0 or done == total:
             metrics = jax.device_get(metrics)
             dt = time.perf_counter() - t_last
             log.info(
                 "step %d loss=%.4f (3d=%.4f 2d=%.4f) |g|=%.2f %.1f crops/s",
-                step_i + 1, metrics["loss"], metrics["loss3d"], metrics["loss2d"],
+                done, metrics["loss"], metrics["loss3d"], metrics["loss2d"],
                 metrics["grad_norm"], n_since / dt,
             )
             scalars = {k: float(v) for k, v in metrics.items()}
             scalars["crops_per_sec"] = n_since / dt
-            scalars["learning_rate"] = float(lr_sched(step_i))
-            writer.write_scalars(step_i + 1, scalars)
-            history.append({"step": step_i + 1, **scalars})
+            scalars["learning_rate"] = float(lr_sched(done - 1))
+            writer.write_scalars(done, scalars)
+            history.append({"step": done, **scalars})
             t_last = time.perf_counter()
             n_since = 0
 
-        if (step_i + 1) % cfg.train.checkpoint_every == 0 or step_i + 1 == total:
-            ckpt.save(step_i + 1, jax.device_get(state), force=step_i + 1 == total)
+        if done % cfg.train.checkpoint_every == 0 or done == total:
+            ckpt.save(done, jax.device_get(state), force=done == total)
 
-        if cfg.train.validate_every and (step_i + 1) % cfg.train.validate_every == 0:
+        if cfg.train.validate_every and done % cfg.train.validate_every == 0:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             t_val = time.perf_counter()
             val = validate(cfg, variables, dataset, mesh, predict_fn=val_fn)
             log.info("step %d validation MPJPE %.2f mm (%.1f s)",
-                     step_i + 1, val, time.perf_counter() - t_val)
-            writer.write_scalars(step_i + 1, {"val_mpjpe": val})
-            history.append({"step": step_i + 1, "val_mpjpe": val})
-            if ckpt.save_if_best(step_i + 1, jax.device_get(state), val):
-                log.info("step %d new best checkpoint (%.2f mm)", step_i + 1, val)
+                     done, val, time.perf_counter() - t_val)
+            writer.write_scalars(done, {"val_mpjpe": val})
+            history.append({"step": done, "val_mpjpe": val})
+            if ckpt.save_if_best(done, jax.device_get(state), val):
+                log.info("step %d new best checkpoint (%.2f mm)", done, val)
 
     if profiling:  # run ended inside the traced window
         jax.profiler.stop_trace()
