@@ -312,11 +312,15 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     # the source of truth — it is appended+flushed at every log_every, so it
     # survives a SIGKILL that history.json (written once at run end) doesn't.
     history = _prior_history(cfg.train.logdir, start_step) if start_step else []
-    # CLI-reachable xprof capture (SURVEY §6 tracing): trace a few
-    # steady-state steps, starting past the first compile
-    prof_start = (start_step + 3
-                  if cfg.train.profile_steps > 0 and primary else -1)
-    prof_stop = prof_start + cfg.train.profile_steps
+    # CLI-reachable xprof capture (SURVEY §6 tracing): trace at least
+    # profile_steps steady-state steps, starting past the first compile.
+    # Crossing semantics (>=), not equality: fused dispatch advances `done`
+    # in chunks, so the trace starts at the first boundary past the warmup
+    # and covers whole chunks (>= profile_steps traced steps).
+    prof_remaining = (cfg.train.profile_steps
+                      if cfg.train.profile_steps > 0 and primary else 0)
+    prof_warmup_done = start_step + 3
+    trace_begin = -1
     profiling = False
     # the loop advances `done` by 1 per dispatch (classic path) or by the
     # fused chunk size; with the boundary knobs validated as multiples of
@@ -324,9 +328,10 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
     # exact same step counts either way (tests/test_fused_steps.py)
     done = start_step
     while done < total:
-        if prof_start >= 0 and not profiling and prof_start <= done < prof_stop:
+        if prof_remaining > 0 and not profiling and done >= prof_warmup_done:
             jax.profiler.start_trace(os.path.join(cfg.train.logdir, "profile"))
             profiling = True
+            trace_begin = done
         if fused_step_fn is not None:
             chunk = min(fused, total - done)
             state, metrics = fused_step_fn(
@@ -341,13 +346,14 @@ def train(cfg: Config, dataset, dataset2d=None, mesh=None,
             state, metrics = step_fn(state, batch, bank)
             n_since += len(batch["is_3d"])
         done += chunk
-        if profiling and done >= prof_stop:
+        if profiling and done - trace_begin >= prof_remaining:
             jax.device_get(metrics)  # close the traced region at a real sync
             jax.profiler.stop_trace()
             profiling = False
             log.info("wrote xprof trace (%d steps) to %s",
-                     cfg.train.profile_steps,
+                     done - trace_begin,
                      os.path.join(cfg.train.logdir, "profile"))
+            prof_remaining = 0
 
         if done % cfg.train.log_every == 0 or done == total:
             metrics = jax.device_get(metrics)
