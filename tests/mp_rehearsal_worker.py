@@ -54,6 +54,16 @@ def _setup(proc_id: int, n_procs: int, port: str, devs_per_proc: int):
     return jax
 
 
+def _barrier(jax, name: str, timeout_ms: int = 600_000):
+    """Coordination-service barrier (pure gRPC — no Gloo, no collectives):
+    all processes must arrive within `timeout_ms`. Used to align workers
+    immediately before their first collective so Gloo's hardcoded ~30 s
+    context-rendezvous window never has to absorb compile/import skew."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
 def _config():
     from metro_pose3d_tpu.config import Config, apply_overrides
 
@@ -111,6 +121,7 @@ def run_train(jax, proc_id: int, n_procs: int, outdir: str):
     step = make_train_step(cfg, tx, root_index=0, mesh=mesh)
 
     metrics_log = []
+    compiled = None
     for step_i in range(2):
         host_batch = next(it)
         if step_i == 0:
@@ -119,7 +130,20 @@ def run_train(jax, proc_id: int, n_procs: int, outdir: str):
             np.savez(os.path.join(outdir, f"train_batch_{proc_id}.npz"),
                      **host_batch)
         batch = put_batch(host_batch, mesh)  # multi-proc global-array branch
-        state, metrics = step(state, batch, bank)
+        if compiled is None:
+            # AOT-compile BEFORE any collective executes, then align every
+            # process at a coordination-service barrier (pure gRPC, generous
+            # timeout). Gloo's context rendezvous has a HARDCODED ~30 s
+            # key-value window that starts when the fastest worker reaches
+            # its first collective; on this 1-core box the per-worker
+            # trace+compile skew can exceed it whenever the persistent
+            # compile cache is cold (the round-4 "70% of deadline" load
+            # fragility). With compilation finished on every process and
+            # the barrier released, the window only has to cover gRPC
+            # jitter plus execution-to-first-collective, both sub-second.
+            compiled = step.lower(state, batch, bank).compile()
+            _barrier(jax, "train_pre_first_collective")
+        state, metrics = compiled(state, batch, bank)
         metrics_log.append(
             {k: float(v) for k, v in jax.device_get(metrics).items()})
 
