@@ -64,6 +64,39 @@ def _barrier(jax, name: str, timeout_ms: int = 600_000):
     distributed.global_state.client.wait_at_barrier(name, timeout_ms)
 
 
+def _warm_collectives(jax, mesh):
+    """Create the job's device-collective Gloo contexts with a TRIVIAL
+    psum over the full mesh, executed while every worker is tightly
+    aligned (call this right after the first real host allgather, whose
+    completion synchronizes all processes).
+
+    Why: Gloo creates a context per communicator at its FIRST use, with a
+    hardcoded ~30 s key-value rendezvous window measured from the fastest
+    participant's arrival. If the first device collective sits deep inside
+    a real step program, the window must absorb each worker's
+    pre-collective EXECUTION time — which on this 1-core box exceeds 30 s
+    under full-suite contention (the [4]-param failures of 2026-08-20,
+    key "cpu:gloo/0,2048,4096,6144/1", survived both an entry barrier and
+    an AOT-compile alignment because the skew was inside execution). A
+    ~0-work psum reaches its rendezvous within milliseconds on every
+    worker; the real step then reuses the cached contexts."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from metro_pose3d_tpu.parallel.mesh import put_batch
+
+    rows = len(jax.local_devices())
+    tiny = put_batch({"x": np.ones((rows,), np.float32)}, mesh)["x"]
+    f = jax.jit(shard_map(
+        lambda x: jax.lax.psum(jnp.sum(x), "data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P(), check_vma=False,
+    ))
+    np.asarray(f(tiny))
+
+
 def _config():
     from metro_pose3d_tpu.config import Config, apply_overrides
 
@@ -129,6 +162,13 @@ def run_train(jax, proc_id: int, n_procs: int, outdir: str):
             # host sharding + concat order BITWISE against single-process
             np.savez(os.path.join(outdir, f"train_batch_{proc_id}.npz"),
                      **host_batch)
+            # align BEFORE the first put_batch: make_array_from_process_
+            # local_data itself performs the job's FIRST Gloo collective (a
+            # host allgather), i.e. the 30 s rendezvous window opens HERE,
+            # not at the step — under full-suite parent load the
+            # import+prep skew between workers exceeded it (failed [4]
+            # twice in-suite while passing standalone, 2026-08-20)
+            _barrier(jax, "train_pre_put_batch")
         batch = put_batch(host_batch, mesh)  # multi-proc global-array branch
         if compiled is None:
             # AOT-compile BEFORE any collective executes, then align every
@@ -272,6 +312,10 @@ def run_flagship(jax, proc_id: int, n_procs: int, outdir: str):
     full = graft.flagship_dryrun_batch(cfg, batch_size)
     per = batch_size // n_procs
     local = {k: v[proc_id * per:(proc_id + 1) * per] for k, v in full.items()}
+    # the job's first Gloo collective happens inside put_batch (host
+    # allgather in make_array_from_process_local_data) — align workers
+    # here so its 30 s rendezvous window never sees prep skew
+    _barrier(jax, "flagship_pre_put_batch")
     batch = put_batch(local, mesh)
     bank = jax.device_put(jnp.asarray(make_procedural_occluders(4, 48)), repl)
 
